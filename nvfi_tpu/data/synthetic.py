@@ -1,0 +1,234 @@
+"""Synthetic dynamic scene generator (analytic ray-traced rigid spheres).
+
+No NVFi dataset ships with this repo, so tests and benchmarks render their own
+ground truth: a few rigid spheres undergoing exact rigid motions (rotation
+about a pivot + translation), ray-traced analytically per frame.  This gives
+
+* posed multi-view video in the reference's blender format (dict-of-splits),
+* exact instance segmentation masks,
+* the exact velocity field (rigid: v(x,t) = w x (x - pivot(t)) + v_lin),
+
+so advection, PDE losses, and segmentation can all be validated against
+closed-form ground truth (SURVEY.md §4's "analytic constant/rotational
+velocity field" strategy).  ``write_blender_dataset`` exports the same scene
+as PNGs + transforms_*.json so the PyTorch reference can train on it for
+baseline throughput measurements.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from .blender import _spherical_pose
+from ..render.rays import ray_bundle
+
+
+def _rot_axis(axis: np.ndarray, angle: float) -> np.ndarray:
+    """Rodrigues rotation matrix."""
+    axis = np.asarray(axis, dtype=np.float64)
+    axis = axis / np.linalg.norm(axis)
+    K = np.array(
+        [[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]], [-axis[1], axis[0], 0]]
+    )
+    return (np.eye(3) + np.sin(angle) * K + (1 - np.cos(angle)) * K @ K).astype(np.float32)
+
+
+class RigidSphere:
+    """A sphere with center c0, radius r, color, and rigid motion:
+    rotation with angular velocity ``omega`` (rad/s vector) about ``pivot``
+    plus linear velocity ``v_lin``."""
+
+    def __init__(self, center, radius, color, omega=(0, 0, 0), pivot=(0, 0, 0), v_lin=(0, 0, 0)):
+        self.c0 = np.asarray(center, np.float32)
+        self.r = float(radius)
+        self.color = np.asarray(color, np.float32)
+        self.omega = np.asarray(omega, np.float32)
+        self.pivot = np.asarray(pivot, np.float32)
+        self.v_lin = np.asarray(v_lin, np.float32)
+
+    def center(self, t: float) -> np.ndarray:
+        w = np.linalg.norm(self.omega)
+        piv = self.pivot + self.v_lin * t
+        if w > 0:
+            R = _rot_axis(self.omega / w, w * t)
+            return R @ (self.c0 - self.pivot) + piv
+        return self.c0 + self.v_lin * t
+
+    def velocity(self, x: np.ndarray, t: float) -> np.ndarray:
+        """Exact rigid velocity at points x (..., 3) at time t."""
+        piv = self.pivot + self.v_lin * t
+        return np.cross(np.broadcast_to(self.omega, x.shape), x - piv) + self.v_lin
+
+
+def default_objects():
+    """A bat-like stand-in: one orbiting sphere, one translating, one static."""
+    return [
+        RigidSphere(
+            center=(0.9, 0.0, 0.3), radius=0.45, color=(0.9, 0.25, 0.2),
+            omega=(0, 0, 2.5), pivot=(0, 0, 0.3),
+        ),
+        RigidSphere(
+            center=(-0.8, -0.6, -0.4), radius=0.4, color=(0.2, 0.5, 0.9),
+            v_lin=(0.9, 0.7, 0.3),
+        ),
+        RigidSphere(center=(0.0, 0.9, -0.7), radius=0.5, color=(0.3, 0.85, 0.3)),
+    ]
+
+
+def render_frame(objects, pose, H, W, focal, t, white_background=True, light=(0.5, 0.5, 1.0)):
+    """Analytic ray trace: returns (rgb (H,W,3), segm (H,W) int32 with 0=bg)."""
+    rays_o, rays_d = ray_bundle(pose, H, W, focal)
+    o = rays_o.reshape(-1, 3)
+    d = rays_d.reshape(-1, 3)
+    dn = d / np.linalg.norm(d, axis=-1, keepdims=True)
+
+    best_t = np.full(o.shape[0], np.inf, dtype=np.float32)
+    best_id = np.zeros(o.shape[0], dtype=np.int32)
+    best_n = np.zeros_like(o)
+    for idx, obj in enumerate(objects):
+        c = obj.center(t)
+        oc = o - c
+        b = np.sum(oc * dn, axis=-1)
+        disc = b * b - (np.sum(oc * oc, axis=-1) - obj.r**2)
+        hit = disc > 0
+        sq = np.sqrt(np.maximum(disc, 0))
+        t_hit = -b - sq
+        hit &= t_hit > 1e-3
+        closer = hit & (t_hit < best_t)
+        best_t = np.where(closer, t_hit, best_t)
+        best_id = np.where(closer, idx + 1, best_id)
+        p = o + dn * t_hit[..., None]
+        n = (p - c) / obj.r
+        best_n = np.where(closer[..., None], n, best_n)
+
+    lightv = np.asarray(light, np.float32)
+    lightv = lightv / np.linalg.norm(lightv)
+    shade = 0.4 + 0.6 * np.maximum(np.sum(best_n * lightv, axis=-1), 0.0)
+
+    colors = np.concatenate(
+        [np.zeros((1, 3), np.float32)] + [obj.color[None] for obj in objects]
+    )
+    rgb = colors[best_id] * shade[..., None]
+    bg = 1.0 if white_background else 0.0
+    rgb = np.where((best_id == 0)[..., None], bg, rgb)
+    return (
+        rgb.reshape(H, W, 3).astype(np.float32),
+        best_id.reshape(H, W).astype(np.int32),
+    )
+
+
+def scene_velocity(objects, x: np.ndarray, t: float) -> np.ndarray:
+    """Exact scene velocity at points inside objects (0 elsewhere)."""
+    v = np.zeros_like(x)
+    for obj in objects:
+        inside = np.linalg.norm(x - obj.center(t), axis=-1) <= obj.r
+        v = np.where(inside[..., None], obj.velocity(x, t), v)
+    return v
+
+
+def make_synthetic_scene(
+    n_train=24, n_val=4, n_test=8, H=64, W=64, n_times=16, tmax_frac=0.75,
+    white_background=True, objects=None, radius=4.0, seed=0,
+):
+    """Build an in-memory dataset with the reference loader's return layout.
+
+    Train covers t in [0, tmax_frac]; test extends to t=1 (extrapolation split,
+    reference config/InDoorObj/bat.yaml:137).  Returns the standard 7-tuple
+    plus a dict of extras (objects, segm masks per split).
+    """
+    objects = default_objects() if objects is None else objects
+    rng = np.random.RandomState(seed)
+    focal = 0.5 * W / np.tan(0.5 * 0.6911112)  # blender's default ~0.69 rad fov
+
+    def make_split(n, t_lo, t_hi, phase):
+        times = np.linspace(t_lo, t_hi, n).astype(np.float32)
+        thetas = np.linspace(-180, 180, n, endpoint=False) + phase
+        imgs, poses, segms = [], [], []
+        for t, th in zip(times, thetas):
+            phi = -30.0 + 15.0 * np.sin(th / 60.0)
+            pose = _spherical_pose(th, phi, radius)
+            rgb, segm = render_frame(objects, pose, H, W, focal, float(t), white_background)
+            imgs.append(rgb)
+            poses.append(pose)
+            segms.append(segm)
+        return np.stack(imgs), poses, times.tolist(), np.stack(segms)
+
+    # keyframe-aligned training times: include t=0 and hit keyframes exactly
+    train_times = np.linspace(0.0, tmax_frac, n_train).astype(np.float32)
+    thetas = rng.uniform(-180, 180, n_train)
+    imgs, poses, segms = [], [], []
+    for t, th in zip(train_times, thetas):
+        pose = _spherical_pose(float(th), -30.0 + float(rng.uniform(-10, 10)), radius)
+        rgb, segm = render_frame(objects, pose, H, W, focal, float(t), white_background)
+        imgs.append(rgb)
+        poses.append(pose)
+        segms.append(segm)
+    train = (np.stack(imgs), poses, train_times.tolist(), np.stack(segms))
+
+    val = make_split(n_val, 0.0, tmax_frac, 13.0)
+    test = make_split(n_test, 0.0, 1.0, 29.0)  # extends beyond tmax: extrapolation
+
+    all_imgs = {"train": train[0], "val": val[0], "test": test[0]}
+    all_poses = {"train": train[1], "val": val[1], "test": test[1]}
+    all_times = {"train": train[2], "val": val[2], "test": test[2]}
+    segm = {"train": train[3], "val": val[3], "test": test[3]}
+
+    init_sel = [i for i, t in enumerate(all_times["train"]) if t == 0.0]
+    all_imgs["init"] = all_imgs["train"][init_sel]
+    all_poses["init"] = [all_poses["train"][i] for i in init_sel]
+    all_times["init"] = [all_times["train"][i] for i in init_sel]
+    counts = {s: len(all_times[s]) for s in all_times}
+
+    render_poses = np.stack([_spherical_pose(a, -30.0, radius) for a in np.linspace(-180, 180, 9)[:-1]])
+    render_times = np.linspace(0, 1, 8).astype(np.float32)
+    extras = {"objects": objects, "segm": segm, "tmax": tmax_frac}
+    return all_imgs, all_poses, all_times, counts, render_poses, render_times, [H, W, focal], extras
+
+
+def write_blender_dataset(outdir, H=64, W=64, **kwargs):
+    """Export the synthetic scene in the reference's on-disk blender format
+    (transforms_{train,val,test}.json + PNGs + GT segm .npy), loadable by both
+    this framework and the PyTorch reference."""
+    from PIL import Image
+
+    data = make_synthetic_scene(H=H, W=W, **kwargs)
+    all_imgs, all_poses, all_times, counts, _, _, (h, w, focal), extras = data
+    camera_angle_x = 2.0 * np.arctan(0.5 * w / focal)
+    os.makedirs(outdir, exist_ok=True)
+    for split in ("train", "val", "test"):
+        frames = []
+        os.makedirs(os.path.join(outdir, split), exist_ok=True)
+        for i in range(counts[split]):
+            rel = f"{split}/r_{i:03d}"
+            img = (all_imgs[split][i] * 255).astype(np.uint8)
+            Image.fromarray(img).save(os.path.join(outdir, rel + ".png"))
+            np.save(os.path.join(outdir, rel + "_segm.npy"), extras["segm"][split][i])
+            frames.append(
+                {
+                    "file_path": rel,
+                    "img_path": rel,
+                    "segm_path": rel + "_segm",
+                    "time": float(all_times[split][i]),
+                    "transform_matrix": np.asarray(all_poses[split][i]).tolist(),
+                }
+            )
+        with open(os.path.join(outdir, f"transforms_{split}.json"), "w") as f:
+            json.dump({"camera_angle_x": float(camera_angle_x), "frames": frames}, f)
+    # flat variant for the segm loaders
+    with open(os.path.join(outdir, "transforms.json"), "w") as f:
+        frames = []
+        for i in range(counts["test"]):
+            rel = f"test/r_{i:03d}"
+            frames.append(
+                {
+                    "img_path": rel,
+                    "segm_path": rel + "_segm",
+                    "time": float(all_times["test"][i]),
+                    "transform_matrix": np.asarray(all_poses["test"][i]).tolist(),
+                }
+            )
+        json.dump({"camera_angle_x": float(camera_angle_x), "frames": frames}, f)
+    return data

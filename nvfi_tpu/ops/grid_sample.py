@@ -1,0 +1,118 @@
+"""Bilinear / trilinear grid sampling with PyTorch ``align_corners=True`` semantics.
+
+The reference leans on ``F.grid_sample(..., align_corners=True)`` at 15 call
+sites for every plane / line / volume lookup (reference
+models/tensorf_keyframe.py:259-264, models/tensorf_base.py:821-830,
+models/tensorf_model_utils.py:435-437).  Exact corner-aligned indexing with
+zeros padding is reproduced here:
+
+* normalized coord u in [-1, 1] maps to pixel coordinate ``(u+1)/2 * (S-1)``;
+* bilinear corners outside the grid contribute zero (padding_mode='zeros').
+
+Layout: planes are stored channels-last ``(H, W, C)`` — one gather pulls a
+contiguous C-vector into TPU lanes, instead of the reference's ``(1, C, H, W)``
+layout which would scatter channels across strided memory.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _corner_weights(u: jnp.ndarray, size: int):
+    """Map normalized coords to (lo index, hi index, hi weight, per-corner valid)."""
+    x = (u + 1.0) * 0.5 * (size - 1)
+    x0 = jnp.floor(x)
+    w1 = x - x0
+    i0 = x0.astype(jnp.int32)
+    i1 = i0 + 1
+    v0 = (i0 >= 0) & (i0 <= size - 1)
+    v1 = (i1 >= 0) & (i1 <= size - 1)
+    i0c = jnp.clip(i0, 0, size - 1)
+    i1c = jnp.clip(i1, 0, size - 1)
+    return (i0c, i1c), (1.0 - w1, w1), (v0, v1)
+
+
+def grid_sample_2d(plane: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Sample a channels-last plane at normalized 2D coordinates.
+
+    Args:
+      plane:  (H, W, C) array.
+      coords: (..., 2) normalized (x, y) with x indexing W and y indexing H —
+              identical convention to ``F.grid_sample`` on a (1, C, H, W) input
+              with grid (1, N, 1, 2).
+
+    Returns:
+      (..., C) interpolated features.
+    """
+    H, W, C = plane.shape
+    x, y = coords[..., 0], coords[..., 1]
+    (ix0, ix1), (wx0, wx1), (vx0, vx1) = _corner_weights(x, W)
+    (iy0, iy1), (wy0, wy1), (vy0, vy1) = _corner_weights(y, H)
+
+    flat = plane.reshape(H * W, C)
+
+    def corner(iy, ix, wy, wx, vy, vx):
+        w = (wy * wx * (vy & vx)).astype(plane.dtype)
+        return flat[iy * W + ix] * w[..., None]
+
+    return (
+        corner(iy0, ix0, wy0, wx0, vy0, vx0)
+        + corner(iy0, ix1, wy0, wx1, vy0, vx1)
+        + corner(iy1, ix0, wy1, wx0, vy1, vx0)
+        + corner(iy1, ix1, wy1, wx1, vy1, vx1)
+    )
+
+
+def grid_sample_1d(line: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Sample a channels-last line grid at normalized 1D coordinates.
+
+    Args:
+      line:   (L, C) array — the reference stores lines as (1, C, L, 1) and
+              samples them with a degenerate 2D grid (tensorf_base.py:805-830).
+      coords: (...,) normalized coordinate along L.
+
+    Returns:
+      (..., C) interpolated features.
+    """
+    L, C = line.shape
+    (i0, i1), (w0, w1), (v0, v1) = _corner_weights(coords, L)
+    f0 = line[i0] * (w0 * v0).astype(line.dtype)[..., None]
+    f1 = line[i1] * (w1 * v1).astype(line.dtype)[..., None]
+    return f0 + f1
+
+
+def grid_sample_3d(volume: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear sample of a volume at normalized 3D coordinates.
+
+    Args:
+      volume: (D, H, W) array (single channel — the alpha-occupancy use case,
+              reference models/tensorf_model_utils.py:433-439).
+      coords: (..., 3) normalized (x, y, z) with x indexing W, y indexing H,
+              z indexing D (torch 3D grid_sample convention).
+
+    Returns:
+      (...,) interpolated values.
+    """
+    D, H, W = volume.shape
+    x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
+    (ix0, ix1), (wx0, wx1), (vx0, vx1) = _corner_weights(x, W)
+    (iy0, iy1), (wy0, wy1), (vy0, vy1) = _corner_weights(y, H)
+    (iz0, iz1), (wz0, wz1), (vz0, vz1) = _corner_weights(z, D)
+
+    flat = volume.reshape(-1)
+
+    def corner(iz, iy, ix, wz, wy, wx, vz, vy, vx):
+        w = (wz * wy * wx * (vz & vy & vx)).astype(volume.dtype)
+        return flat[(iz * H + iy) * W + ix] * w
+
+    return (
+        corner(iz0, iy0, ix0, wz0, wy0, wx0, vz0, vy0, vx0)
+        + corner(iz0, iy0, ix1, wz0, wy0, wx1, vz0, vy0, vx1)
+        + corner(iz0, iy1, ix0, wz0, wy1, wx0, vz0, vy1, vx0)
+        + corner(iz0, iy1, ix1, wz0, wy1, wx1, vz0, vy1, vx1)
+        + corner(iz1, iy0, ix0, wz1, wy0, wx0, vz1, vy0, vx0)
+        + corner(iz1, iy0, ix1, wz1, wy0, wx1, vz1, vy0, vx1)
+        + corner(iz1, iy1, ix0, wz1, wy1, wx0, vz1, vy1, vx0)
+        + corner(iz1, iy1, ix1, wz1, wy1, wx1, vz1, vy1, vx1)
+    )
