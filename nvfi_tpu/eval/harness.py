@@ -1,0 +1,71 @@
+"""Evaluation harness: render a split and compute image metrics.
+
+Equivalent of reference train_nvfi.py:395-459 (``render_test_evaluation``):
+rebuild the alpha mask, render every pose in the split at its time, save PNGs,
+and report MSE/PSNR/SSIM(/LPIPS).  The test split extends past the training
+tmax, so this measures future-frame extrapolation (SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from ..fields import kplane
+from ..render import rays as rays_mod
+from ..render.renderer import render_image
+from . import metrics as metrics_mod
+
+
+def save_png(path: str, img: np.ndarray):
+    from PIL import Image
+
+    Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(path)
+
+
+def render_split(
+    params,
+    meta: kplane.KPlaneMeta,
+    dataset,
+    split: str = "test",
+    *,
+    white_bg: bool,
+    alpha_state=None,
+    update_alpha: bool = True,
+    transfer_vel: bool = False,
+    savedir: str | None = None,
+    chunk: int = 8192,
+    mask_params=None,
+):
+    """Render all views of a split; returns (preds (N,H,W,3), metrics dict)."""
+    all_imgs, all_poses, all_times, counts, _, _, (H, W, focal) = dataset[:7]
+    if update_alpha and alpha_state is None:
+        alpha_state, _ = kplane.update_alpha_mask(
+            params, meta, tuple(min(g, 200) for g in meta.grid_size), transfer=transfer_vel
+        )
+    if savedir:
+        os.makedirs(savedir, exist_ok=True)
+
+    preds = []
+    for idx in range(counts[split]):
+        cam = rays_mod.Camera(
+            all_poses[split][idx], H, W, focal,
+            near=meta.near_far[0], far=meta.near_far[1],
+        )
+        out = render_image(
+            params, meta, float(all_times[split][idx]),
+            cam.rays_o.reshape(H, W, 3), cam.rays_d.reshape(H, W, 3),
+            white_bg=white_bg, transfer_vel=transfer_vel, alpha_state=alpha_state,
+            chunk=chunk, mask_params=mask_params,
+        )
+        preds.append(out["rgb"])
+        if savedir:
+            save_png(os.path.join(savedir, f"r_{idx:03d}.png"), out["rgb"])
+    preds = np.stack(preds)
+    gts = np.asarray(all_imgs[split], dtype=np.float32)
+    errors = metrics_mod.estim_error(preds, gts)
+    if savedir:
+        metrics_mod.save_error(errors, savedir)
+    return preds, errors

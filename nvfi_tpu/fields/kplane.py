@@ -83,6 +83,9 @@ class KPlaneMeta:
     vel_gate: VelGate = field(default_factory=lambda: VelGate("aabb", 0.03))
     mask_dim: int = 0  # >0 when a segmentation MaskField head is attached
     alpha_grid: tuple = ()  # (D,H,W) of the occupancy volume; () = no mask
+    compute_dtype: str = "float32"  # 'bfloat16' halves HBM gather traffic; the
+    # interpolation/compositing math auto-promotes back to f32 (master weights
+    # and Adam state always stay f32)
 
     # -- derived quantities (host-side python, baked into jit) --------------
     @property
@@ -206,6 +209,22 @@ def init_params(key, meta: KPlaneMeta) -> dict:
 # ---------------------------------------------------------------------------
 # Coordinate helpers
 # ---------------------------------------------------------------------------
+
+def cast_compute(params, meta: KPlaneMeta):
+    """Cast f32 param leaves to the compute dtype (no-op for f32 meta).
+
+    Gradients flow through the cast, so the optimizer still sees f32 master
+    weights — the standard bf16-compute / f32-state mixed-precision recipe
+    (the TPU analogue of the reference's CUDA AMP + GradScaler,
+    train_nvfi.py:96,242-245; bf16 needs no loss scaling)."""
+    if meta.compute_dtype == "float32":
+        return params
+    dt = jnp.dtype(meta.compute_dtype)
+    return jax.tree.map(
+        lambda x: x.astype(dt) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        params,
+    )
+
 
 def normalize_coord(meta: KPlaneMeta, xyz):
     a = meta.aabb_np
@@ -418,29 +437,41 @@ def render_rays(
         alphas = sample_alpha(alpha_state, xyz)
         valid = valid & (alphas > 0)
 
-    # advect non-keyframe samples back to base_times (reference :679-699)
-    if meta.use_vel:
-        n_steps = meta.max_adv_steps if transfer_vel else 1
-        advected = integrate_pos(params, meta, xyz, t, base_times, n_steps=n_steps)
-        is_key = jnp.isclose(t, base_times)
-        xyz_eval = jnp.where(is_key, xyz, advected)
-    else:
-        xyz_eval = xyz
-        base_times = t
+    # Per-point field evaluation — advection, density, appearance, shading —
+    # wrapped in jax.checkpoint: the (N, S, 128)-wide MLP activations are
+    # rematerialized in the backward pass instead of living in HBM, which is
+    # what makes full-scale fixed-shape training fit on a 16 GB chip
+    # (SURVEY.md §7.1.2's masked-compute design + remat).
+    def point_eval(params, xyz, t, base_times, viewdirs, aux_t, aux_off):
+        if meta.use_vel:
+            n_steps = meta.max_adv_steps if transfer_vel else 1
+            advected = integrate_pos(params, meta, xyz, t, base_times, n_steps=n_steps)
+            is_key = jnp.isclose(t, base_times)
+            xyz_eval = jnp.where(is_key, xyz, advected)
+            bt = base_times
+        else:
+            xyz_eval = xyz
+            bt = t
+        xyzt_eval = jnp.concatenate([xyz_eval, normalize_time(meta, bt)], axis=-1)
+        aux = {"times": aux_t, "time_offset": aux_off}
+        sigma_feat = density_feature(params, meta, xyzt_eval)
+        sigma = feature2density(meta, sigma_feat, aux)
+        app_feat = app_feature(params, meta, xyzt_eval)
+        shader = make_shader(meta.shading_mode, meta.view_pe, meta.pos_pe, meta.fea_pe)
+        rgb_pts = shader(params["shader"], xyz_eval, viewdirs, app_feat, aux)
+        return sigma, rgb_pts, xyz_eval
 
-    xyzt_eval = jnp.concatenate([xyz_eval, normalize_time(meta, base_times)], axis=-1)
-
-    aux = {"times": t[..., 0], "time_offset": time_offset[..., 0]}
-    sigma_feat = density_feature(params, meta, xyzt_eval)
-    sigma = feature2density(meta, sigma_feat, aux)
+    point_eval = jax.checkpoint(point_eval)
+    sigma, rgb_pts, xyz_eval = point_eval(
+        cast_compute(params, meta), xyz, t, base_times, viewdirs,
+        t[..., 0], time_offset[..., 0]
+    )
+    sigma = sigma.astype(jnp.float32)
+    rgb_pts = rgb_pts.astype(jnp.float32)
     sigma = jnp.where(valid, sigma, 0.0)
 
     alpha, weight, bg_w = raw2alpha(sigma, dists * meta.distance_scale)
     app_mask = weight > meta.raymarch_weight_thres
-
-    app_feat = app_feature(params, meta, xyzt_eval)
-    shader = make_shader(meta.shading_mode, meta.view_pe, meta.pos_pe, meta.fea_pe)
-    rgb_pts = shader(params["shader"], xyz_eval, viewdirs, app_feat, aux)
     rgb_pts = jnp.where(app_mask[..., None], rgb_pts, 0.0)
 
     acc = jnp.sum(weight, axis=-1)

@@ -23,7 +23,10 @@ def linear_init(key, in_dim: int, out_dim: int, bias: bool = True, dtype=jnp.flo
 
 
 def linear(p, x):
-    y = x @ p["w"]
+    w = p["w"]
+    # mixed precision: follow the (possibly bf16-cast) weight dtype so the
+    # matmul lands on the MXU in bf16 when the caller casts params
+    y = jnp.dot(x.astype(w.dtype), w)
     if "b" in p:
         y = y + p["b"]
     return y

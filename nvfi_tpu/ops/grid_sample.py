@@ -53,8 +53,10 @@ def grid_sample_2d(plane: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     flat = plane.reshape(H * W, C)
 
     def corner(iy, ix, wy, wx, vy, vx):
-        w = (wy * wx * (vy & vx)).astype(plane.dtype)
-        return flat[iy * W + ix] * w[..., None]
+        # weights keep the coordinate dtype (f32): bf16-stored planes are
+        # gathered at half bandwidth, then upcast for the interpolation math
+        w = wy * wx * (vy & vx)
+        return flat[iy * W + ix].astype(w.dtype) * w[..., None]
 
     return (
         corner(iy0, ix0, wy0, wx0, vy0, vx0)
@@ -77,8 +79,8 @@ def grid_sample_1d(line: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     """
     L, C = line.shape
     (i0, i1), (w0, w1), (v0, v1) = _corner_weights(coords, L)
-    f0 = line[i0] * (w0 * v0).astype(line.dtype)[..., None]
-    f1 = line[i1] * (w1 * v1).astype(line.dtype)[..., None]
+    f0 = line[i0].astype(w0.dtype) * (w0 * v0)[..., None]
+    f1 = line[i1].astype(w1.dtype) * (w1 * v1)[..., None]
     return f0 + f1
 
 
@@ -103,8 +105,8 @@ def grid_sample_3d(volume: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     flat = volume.reshape(-1)
 
     def corner(iz, iy, ix, wz, wy, wx, vz, vy, vx):
-        w = (wz * wy * wx * (vz & vy & vx)).astype(volume.dtype)
-        return flat[(iz * H + iy) * W + ix] * w
+        w = wz * wy * wx * (vz & vy & vx)
+        return flat[(iz * H + iy) * W + ix].astype(w.dtype) * w
 
     return (
         corner(iz0, iy0, ix0, wz0, wy0, wx0, vz0, vy0, vx0)

@@ -1,0 +1,418 @@
+"""Staged training driver: reconstruction + extrapolation (train_nvfi parity).
+
+Re-designs reference train_nvfi.py:21-369 as a stage loop around a single
+fully-jitted train step:
+
+* The coarse-to-fine schedule (exp-spaced voxel counts + keyframe counts over
+  ``upsamp_list``, reference :99-112) partitions training into *stages* with
+  static shapes; each stage jits once and the optimizer is re-initialized at
+  stage boundaries exactly as the reference rebuilds Adam (reference
+  :343-357).
+* Per-step work — pick pixels from the chosen frame, generate rays from the
+  pose (in-jit, from a (F,4,4) pose buffer — no host ray precompute), render
+  the random-time batch and the keyframe batch, add L1/TV/PDE regularizers
+  with their exponentially-decayed weights (reference :208-239), Adam update
+  with per-group exponentially-decayed lrs (reference :248-249) — all happens
+  in ONE jit region on device.
+* Optional data parallelism: a ``jax.sharding.Mesh`` shards the sampled ray
+  batch over chips via sharding constraints; params stay replicated and XLA
+  inserts the gradient all-reduce over ICI (SURVEY.md §2.2).
+
+Modes match the reference CLI: 'static' (t=0 frames only), 'static_dynamic'
+(joint, the README-recommended flow), 'vel' (velocity-only; fixed here —
+broken in the reference, SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import kplane
+from ..physics.pde import vel_pde_loss
+from ..eval.metrics import mse2psnr
+from . import optim, checkpoint
+
+
+def n_to_reso(n_voxels: int, aabb: np.ndarray) -> list:
+    """Voxel-count -> per-axis resolution (reference utils/tensorf_utils.py:53-57)."""
+    xyz_min, xyz_max = np.asarray(aabb, dtype=np.float64)
+    voxel_size = ((xyz_max - xyz_min).prod() / n_voxels) ** (1 / 3)
+    return [int(v) for v in ((xyz_max - xyz_min) / voxel_size)]
+
+
+def exp_schedule(v0: int, v1: int, n: int) -> list:
+    """Exp-spaced schedule, dropping the initial value (reference train_nvfi.py:99-112)."""
+    return [int(round(v)) for v in np.exp(np.linspace(np.log(v0), np.log(v1), n + 1))][1:]
+
+
+@dataclass
+class TrainHP:
+    """Hyperparameters lifted from the reference cfg.experiment block."""
+
+    lr_grid: float = 0.02
+    lr_net: float = 1e-3
+    lr_decay_target_ratio: float = 0.1
+    lr_decay_iters: int = -1
+    lr_upsample_reset: bool = True
+    train_iters: int = 30000
+    n_rays: int = 2048
+    point_batch: int = 131072  # reference renderer.batch_size: ray chunks are
+    # sized so chunk_rays * n_samples ~ point_batch, bounding backward HBM
+    L1_weight_initial: float = 8e-4
+    L1_weight_reset: float = 4e-4
+    TV_weight_density: float = 1.0
+    TV_weight_app: float = 1.0
+    vel_reg_weight: float = 1.0
+    vel_reg_n_pts: int = 262144
+    upsamp_list: tuple = (2000, 4000, 6000, 8000, 10000)
+    update_alphamask_list: tuple = ()
+    n_voxel_init: int = 262144
+    n_voxel_final: int = 8000000
+    num_keyframes_end: int = 16
+    white_bg: bool = True
+    save_every: int = 5000
+    print_every: int = 500
+    validate_every: int = 1000
+
+    @property
+    def lr_factor(self) -> float:
+        iters = self.lr_decay_iters if self.lr_decay_iters > 0 else self.train_iters
+        return self.lr_decay_target_ratio ** (1.0 / iters)
+
+    @classmethod
+    def from_cfg(cls, cfg) -> "TrainHP":
+        e = cfg.experiment
+        return cls(
+            lr_grid=float(e.lr_grid),
+            lr_net=float(e.lr_net),
+            lr_decay_target_ratio=float(e.lr_decay_target_ratio),
+            lr_decay_iters=int(e.lr_decay_iters),
+            lr_upsample_reset=bool(e.lr_upsample_reset),
+            train_iters=int(e.train_iters),
+            n_rays=int(cfg.renderer.n_rays),
+            point_batch=int(cfg.renderer.get("batch_size", 131072)),
+            L1_weight_initial=float(e.L1_weight_inital),  # [sic] reference spelling
+            L1_weight_reset=float(e.L1_weight_reset),
+            TV_weight_density=float(e.TV_weight_density),
+            TV_weight_app=float(e.TV_weight_app),
+            vel_reg_weight=float(e.vel_reg_weight),
+            vel_reg_n_pts=int(e.vel_reg_n_pts),
+            upsamp_list=tuple(cfg.nvfi.upsamp_list),
+            update_alphamask_list=tuple(cfg.nvfi.update_AlphaMask_list),
+            n_voxel_init=int(cfg.nvfi.N_voxel_init),
+            n_voxel_final=int(cfg.nvfi.N_voxel_final),
+            num_keyframes_end=int(cfg.nvfi.num_keyframes_end),
+            white_bg=bool(cfg.dataset.white_background),
+            save_every=int(e.save_every),
+            print_every=int(e.print_every),
+            validate_every=int(e.validate_every),
+        )
+
+
+def _rays_from_pose(pose, H, W, focal, ii, jj):
+    """In-jit pinhole rays at pixel (ii, jj) — OpenGL convention, matching
+    host-side rays.ray_bundle (reference models/camera.py:112-138)."""
+    x = (jj.astype(jnp.float32) - W * 0.5) / focal
+    y = -(ii.astype(jnp.float32) - H * 0.5) / focal
+    dirs = jnp.stack([x, y, -jnp.ones_like(x)], axis=-1)
+    ray_d = jnp.einsum("nj,ij->ni", dirs, pose[:3, :3])
+    ray_o = jnp.broadcast_to(pose[:3, 3], ray_d.shape)
+    return ray_o, ray_d
+
+
+def make_train_step(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str, H: int, W: int,
+                    focal: float, mesh=None, vel_pts: int | None = None):
+    """Build the jitted per-iteration step for one stage.
+
+    The returned function has signature
+      (params, opt_state, key, frame_idx, key_frame_idx, global_step,
+       poses (F,4,4), images (F,H,W,3), times (F,))
+      -> (params, opt_state, metrics_dict)
+    """
+    n_rays = hp.n_rays
+    n_pde = vel_pts if vel_pts is not None else hp.vel_reg_n_pts
+    lr_factor = hp.lr_factor
+    use_pde = meta.use_vel and mode in ("static_dynamic", "dynamic", "vel") and hp.vel_reg_weight > 0
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ray_sharding = NamedSharding(mesh, P("data"))
+    else:
+        ray_sharding = None
+
+    def constrain(x):
+        if ray_sharding is not None:
+            return jax.lax.with_sharding_constraint(x, ray_sharding)
+        return x
+
+    # ray chunking: bound backward-pass activation memory to ~point_batch
+    # sample points per chunk (the reference's renderer.batch_size point
+    # batchify, reborn as a rematerialized lax.scan)
+    n_samples = meta.n_samples
+    ray_chunk = max(1, hp.point_batch // max(n_samples, 1))
+    while n_rays % ray_chunk:
+        ray_chunk -= 1
+    n_chunks = n_rays // ray_chunk
+
+    def render_batch(params, key, pose, image, t):
+        k_pix, k_render = jax.random.split(key)
+        pix = jax.random.choice(k_pix, H * W, (n_rays,), replace=False)
+        ii, jj = pix // W, pix % W
+        ray_o, ray_d = _rays_from_pose(pose, H, W, focal, ii, jj)
+        ray_o, ray_d = constrain(ray_o), constrain(ray_d)
+        target = constrain(image[ii, jj])
+
+        def chunk_loss(params, ro, rd, tgt, kr):
+            out = kplane.render_rays(
+                params, meta, jnp.full((ro.shape[0],), t), ro, rd, key=kr,
+                training=True, white_bg=hp.white_bg,
+            )
+            return jnp.sum((out["rgb"] - tgt) ** 2)
+
+        if n_chunks == 1:
+            sse = chunk_loss(params, ray_o, ray_d, target, k_render)
+        else:
+            chunk_keys = jax.random.split(k_render, n_chunks)
+
+            def body(acc, inp):
+                ro, rd, tgt, kr = inp
+                return acc + chunk_loss(params, ro, rd, tgt, kr), None
+
+            sse, _ = jax.lax.scan(
+                body,
+                jnp.zeros(()),
+                (
+                    ray_o.reshape(n_chunks, ray_chunk, 3),
+                    ray_d.reshape(n_chunks, ray_chunk, 3),
+                    target.reshape(n_chunks, ray_chunk, 3),
+                    chunk_keys,
+                ),
+            )
+        return sse / (n_rays * 3)
+
+    def loss_fn(params, key, frame_idx, key_frame_idx, global_step, poses, images, times):
+        keys = jax.random.split(key, 4)
+        gs = global_step.astype(jnp.float32)
+        reg_scale = lr_factor ** (gs + 1.0)
+
+        loss = 0.0
+        rgb_loss_t = jnp.zeros(())
+        rgb_loss_0 = jnp.zeros(())
+
+        if mode in ("static_dynamic", "dynamic", "vel"):
+            rgb_loss_t = render_batch(
+                params, keys[0], poses[frame_idx], images[frame_idx], times[frame_idx]
+            )
+            loss = loss + rgb_loss_t
+        if mode in ("static", "static_dynamic"):
+            rgb_loss_0 = render_batch(
+                params, keys[1], poses[key_frame_idx], images[key_frame_idx],
+                times[key_frame_idx]
+            )
+            loss = loss + rgb_loss_0
+
+        metrics = {"rgb_loss_t": rgb_loss_t, "rgb_loss_0": rgb_loss_0}
+
+        if mode in ("static", "static_dynamic"):
+            if hp.L1_weight_initial > 0:
+                # weight decays per-iter like the lr (reference :211)
+                l1 = kplane.density_l1(params)
+                loss = loss + hp.L1_weight_initial * reg_scale * l1
+                metrics["l1"] = l1
+            if hp.TV_weight_density > 0:
+                tv_d = kplane.tv_loss_density(params, meta)
+                loss = loss + hp.TV_weight_density * reg_scale * tv_d
+                metrics["tv_density"] = tv_d
+            if hp.TV_weight_app > 0:
+                tv_a = kplane.tv_loss_app(params, meta)
+                loss = loss + hp.TV_weight_app * reg_scale * tv_a
+                metrics["tv_app"] = tv_a
+
+        if use_pde:
+            pde = vel_pde_loss(params, meta, keys[2], n_pde)
+            loss = loss + hp.vel_reg_weight * reg_scale * pde
+            metrics["vel_pde"] = pde
+
+        metrics["loss"] = loss
+        return loss, metrics
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, key, frame_idx, key_frame_idx, global_step,
+                   poses, images, times):
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            params, key, frame_idx, key_frame_idx, global_step, poses, images, times
+        )
+        lr_tree = optim.make_lr_tree(params, hp.lr_grid, hp.lr_net)
+        if mode == "vel":
+            # velocity-only: zero the lr of everything except the velocity net
+            lr_tree = {k: jax.tree.map(lambda _: 0.0, v) if k != "vel" else v
+                       for k, v in lr_tree.items()}
+        lr_scale = lr_factor ** opt_state["step"].astype(jnp.float32)
+        params, opt_state = optim.apply_updates(params, grads, opt_state, lr_tree, lr_scale)
+        return params, opt_state, metrics
+
+    return train_step
+
+
+class Trainer:
+    """Stage loop + host-side schedule bookkeeping (the L6 driver)."""
+
+    def __init__(self, cfg, dataset, mode: str = "static_dynamic", logdir: str | None = None,
+                 mesh=None, seed: int | None = None):
+        self.cfg = cfg
+        self.hp = TrainHP.from_cfg(cfg)
+        self.mode = mode
+        self.mesh = mesh
+        (self.all_imgs, self.all_poses, self.all_times, self.counts,
+         _, _, (self.H, self.W, self.focal)) = dataset[:7]
+        self.logdir = logdir
+        if logdir:
+            os.makedirs(logdir, exist_ok=True)
+
+        aabb = np.stack(
+            [np.asarray(cfg.nvfi.bbox_x), np.asarray(cfg.nvfi.bbox_y), np.asarray(cfg.nvfi.bbox_z)],
+            axis=-1,
+        )
+        res0 = n_to_reso(self.hp.n_voxel_init, aabb)
+        near_far = (float(cfg.dataset.near), float(cfg.dataset.far))
+        self.meta = kplane.meta_from_cfg(cfg.nvfi, aabb, res0, near_far)
+        seed = int(cfg.experiment.randomseed) if seed is None else seed
+        self.key = jax.random.PRNGKey(seed)
+        self.rng = np.random.RandomState(seed)
+        self.key, k_init = jax.random.split(self.key)
+        self.params = kplane.init_params(k_init, self.meta)
+        self.alpha_state = None
+        self.global_step = 0
+
+        # voxel & keyframe upsample schedules (reference train_nvfi.py:99-112)
+        n_up = len(self.hp.upsamp_list)
+        self.n_voxel_list = exp_schedule(self.hp.n_voxel_init, self.hp.n_voxel_final, n_up)
+        self.keyframe_list = exp_schedule(
+            self.meta.num_keyframes, self.hp.num_keyframes_end, n_up
+        )
+
+        split = "init" if mode == "static" else "train"
+        self.split = split
+        self._upload_buffers(split)
+
+    def _upload_buffers(self, split):
+        poses = np.stack([np.asarray(p, dtype=np.float32) for p in self.all_poses[split]])
+        self.poses_buf = jnp.asarray(poses)
+        self.images_buf = jnp.asarray(np.asarray(self.all_imgs[split], dtype=np.float32))
+        self.times_buf = jnp.asarray(np.asarray(self.all_times[split], dtype=np.float32))
+
+    def _get_step_fn(self, vel_pts):
+        """Cache the jitted step per (meta, vel_pts) so repeated train() calls
+        and stage loops never recompile needlessly."""
+        cache = getattr(self, "_step_cache", None)
+        if cache is None:
+            cache = self._step_cache = {}
+        key = (self.meta, vel_pts)
+        if key not in cache:
+            cache[key] = make_train_step(
+                self.meta, self.hp, self.mode, self.H, self.W, self.focal,
+                self.mesh, vel_pts,
+            )
+        return cache[key]
+
+    def _keyframe_frames(self):
+        """Train-frame indices whose time hits a keyframe exactly
+        (reference train_nvfi.py:183-194)."""
+        t = np.asarray(self.all_times[self.split], dtype=np.float32)
+        delta = self.meta.time_scale_factor
+        base = np.round(np.clip(t / delta, 0, self.meta.num_keyframes - 1)) * delta
+        valid = np.where(np.isclose(t, base))[0]
+        return valid if len(valid) else np.arange(len(t))
+
+    def train(self, iters: int | None = None, log_fn=None, vel_pts: int | None = None):
+        """Run the full staged schedule for ``iters`` steps."""
+        hp = self.hp
+        iters = hp.train_iters if iters is None else iters
+        step_fn = self._get_step_fn(vel_pts)
+        opt_state = getattr(self, "opt_state", None)
+        if opt_state is None:
+            opt_state = optim.init_state(self.params)
+        key_frames = self._keyframe_frames()
+        n_frames = self.counts[self.split]
+        metrics = {}
+        t_start = time.time()
+
+        for it in range(self.global_step, iters):
+            self.key, k_step = jax.random.split(self.key)
+            frame_idx = self.rng.randint(n_frames)
+            key_idx = int(key_frames[self.rng.randint(len(key_frames))])
+            self.params, opt_state, metrics = step_fn(
+                self.params, opt_state, k_step,
+                jnp.int32(frame_idx), jnp.int32(key_idx), jnp.int32(it),
+                self.poses_buf, self.images_buf, self.times_buf,
+            )
+
+            if log_fn and (it % hp.print_every == 0 or it == iters - 1):
+                m = {k: float(v) for k, v in metrics.items()}
+                m["psnr_t"] = mse2psnr(m.get("rgb_loss_t", 0.0) or 1.0)
+                m["psnr_0"] = mse2psnr(m.get("rgb_loss_0", 0.0) or 1.0)
+                m["it"] = it
+                m["elapsed"] = time.time() - t_start
+                log_fn(m)
+
+            # -- stage events (reference train_nvfi.py:332-357) ---------------
+            if it in hp.update_alphamask_list and self.mode in ("static", "static_dynamic"):
+                reso_mask = tuple(min(g, 200) for g in self.meta.grid_size)
+                self.alpha_state, new_aabb = kplane.update_alpha_mask(
+                    self.params, self.meta, reso_mask
+                )
+                self.params, self.meta = kplane.shrink(self.params, self.meta, new_aabb)
+                self._step_cache = {}
+                step_fn = self._get_step_fn(vel_pts)
+                opt_state = optim.init_state(self.params)
+
+            if it in hp.upsamp_list and self.mode in ("static", "static_dynamic"):
+                n_vox = self.n_voxel_list.pop(0)
+                res_cur = n_to_reso(n_vox, self.meta.aabb_np)
+                kf_cur = self.keyframe_list.pop(0)
+                self.params, self.meta = kplane.upsample(self.params, self.meta, res_cur, kf_cur)
+                key_frames = self._keyframe_frames()
+                self._step_cache = {}
+                step_fn = self._get_step_fn(vel_pts)
+                # reference resets Adam state and (by default) the lr decay
+                # position at upsample (train_nvfi.py:348-357)
+                opt_state = optim.init_state(self.params)
+
+            if self.logdir and ((it != 0 and it % hp.save_every == 0) or it == iters - 1):
+                self.save(os.path.join(self.logdir, f"model_{it:05d}"), opt_state)
+
+            self.global_step = it + 1
+
+        self.opt_state = opt_state
+        return metrics
+
+    def save(self, path: str, opt_state=None):
+        checkpoint.save(
+            path, self.params, self.meta, opt_state, self.alpha_state,
+            extra={
+                "global_step": self.global_step,
+                "n_voxel_list": self.n_voxel_list,
+                "keyframe_list": self.keyframe_list,
+                "mode": self.mode,
+            },
+        )
+
+    def restore(self, path: str):
+        params, meta, opt_state, alpha_state, extra = checkpoint.load(path)
+        self.params = jax.tree.map(jnp.asarray, params)
+        self.meta = meta
+        self.alpha_state = (
+            jax.tree.map(jnp.asarray, alpha_state) if alpha_state else None
+        )
+        self.global_step = int(extra.get("global_step", 0))
+        self.n_voxel_list = list(extra.get("n_voxel_list", []))
+        self.keyframe_list = list(extra.get("keyframe_list", []))
+        return opt_state

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Dynamic motion transfer: graft scene B's velocity field into scene A.
+
+CLI mirrors reference test_transfer_vel.py:122-151.  In the pytree world the
+reference's module surgery (``nvfi.nvfi.vel = nvfi2.nvfi.vel``, reference
+:67-68) is one dict assignment: ``params_a['vel'] = params_b['vel']``.  The
+alpha mask is rebuilt in transfer mode (advected from the t=0 canonical frame,
+reference :73) and the test split rendered with ``transfer_vel=True``.
+
+  python test_transfer_vel.py --config A.yaml --config2 B.yaml
+                              [--checkpoint N] [--checkpoint2 N] [--synthetic]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def _load_scene(cfg, step):
+    import jax
+    import jax.numpy as jnp
+    from nvfi_tpu.train import checkpoint as ckpt_mod
+
+    logdir = os.path.join(
+        str(cfg.experiment.logdir), str(cfg.wandb.project), str(cfg.wandb.name)
+    )
+    path = ckpt_mod.find_checkpoint(logdir, step)
+    assert path, f"no checkpoint under {logdir}"
+    params, meta, _, _, _ = ckpt_mod.load(path)
+    return jax.tree.map(jnp.asarray, params), meta
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--config2", type=str, required=True)
+    parser.add_argument("--checkpoint", type=int, default=-1)
+    parser.add_argument("--checkpoint2", type=int, default=-1)
+    parser.add_argument("--full_res", action="store_true")
+    parser.add_argument("--synthetic", action="store_true")
+    args = parser.parse_args()
+
+    from nvfi_tpu.config import load_config
+    from nvfi_tpu.fields import kplane
+    from nvfi_tpu.eval.harness import render_split
+
+    cfg = load_config(args.config)
+    cfg2 = load_config(args.config2)
+    if args.full_res:
+        cfg.dataset.half_res = False
+
+    params, meta = _load_scene(cfg, args.checkpoint)
+    params2, meta2 = _load_scene(cfg2, args.checkpoint2)
+
+    # velocity grafting: swap the velocity subtree (reference :67-68)
+    params = dict(params)
+    params["vel"] = params2["vel"]
+
+    if args.synthetic:
+        from nvfi_tpu.data import make_synthetic_scene
+
+        dataset = make_synthetic_scene(
+            n_train=8, n_val=2, n_test=8, H=64, W=64,
+            tmax_frac=float(cfg.nvfi.tmax),
+            white_background=bool(cfg.dataset.white_background),
+        )[:7]
+    else:
+        from nvfi_tpu.data import load_blender_data
+
+        dataset = load_blender_data(
+            basedir=str(cfg.dataset.basedir),
+            half_res=bool(cfg.dataset.half_res),
+            testskip=int(cfg.dataset.test_skip),
+            white_background=bool(cfg.dataset.white_background),
+        )
+
+    savedir = os.path.join(
+        str(cfg.experiment.logdir), str(cfg.wandb.project), str(cfg.wandb.name),
+        "transfer", "test_img",
+    )
+    preds, errors = render_split(
+        params, meta, dataset, "test",
+        white_bg=bool(cfg.dataset.white_background),
+        transfer_vel=True, savedir=savedir,
+    )
+    print("[transfer]", errors)
+
+
+if __name__ == "__main__":
+    main()

@@ -3,12 +3,19 @@
 SURVEY.md §4: the TPU-native analogue of a fake distributed backend is
 ``xla_force_host_platform_device_count`` — sharded steps must run (and agree
 with single-device) without real chips.
+
+Note: this image's sitecustomize force-registers the axon TPU tunnel at
+interpreter startup, ignoring ``JAX_PLATFORMS`` in the environment; the
+post-import ``jax.config.update('jax_platforms', 'cpu')`` below overrides it
+reliably as long as no backend has been initialized yet.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

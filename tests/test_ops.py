@@ -103,18 +103,16 @@ def test_max_pool3d_same_matches_torch():
     np.testing.assert_allclose(ours, ref[0, 0].numpy(), rtol=1e-6)
 
 
-def test_positional_encoding_ordering():
+def test_positional_encoding_matches_torch_reference_layout():
+    """Reference layout (tensorf_model_utils.py:176-183): per-input-dim
+    frequency groups — [x*1, x*2, y*1, y*2] — sin block then cos block."""
     x = jnp.array([[0.3, -0.7]], dtype=jnp.float32)
     enc = np.asarray(positional_encoding(x, 2))
-    # reference layout: sin(x*1), sin(y*1), sin(x*2), sin(y*2), cos...
-    expect = np.concatenate(
-        [
-            np.sin([[0.3, -0.7, 0.6, -1.4]]),
-            np.cos([[0.3, -0.7, 0.6, -1.4]]),
-        ],
-        axis=-1,
-    )
-    np.testing.assert_allclose(enc, expect, rtol=1e-6)
+    t = torch.tensor([[0.3, -0.7]])
+    bands = (2 ** torch.arange(2).float())
+    pts = (t[..., None] * bands).reshape(1, 4)
+    ref = torch.cat([torch.sin(pts), torch.cos(pts)], dim=-1).numpy()
+    np.testing.assert_allclose(enc, ref, rtol=1e-6)
 
 
 def test_position_encoder_includes_identity_first():

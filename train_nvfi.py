@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Train / evaluate an NVFi scene (TPU-native).
+
+CLI mirrors reference train_nvfi.py:462-515:
+
+  python train_nvfi.py --config configs/synth/bat.yaml [--static|--static_dynamic|--vel]
+                       [--checkpoint N] [--not_train] [--eval_test] [--eval_val]
+                       [--full_res] [--iters N] [--synthetic]
+
+Differences from the reference, on purpose:
+  * --synthetic trains on the built-in analytic scene when no dataset exists
+    on disk (the repo ships no NVFi data).
+  * --devices N builds an N-chip data mesh (default: all available).
+  * the broken reference paths are fixed: --vel works (optimizes only the
+    velocity net), --eval_test does not NameError (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_dataset(cfg, args):
+    if args.synthetic or not os.path.exists(
+        os.path.join(cfg.dataset.basedir, "transforms_train.json")
+    ):
+        from nvfi_tpu.data import make_synthetic_scene
+
+        if not args.synthetic:
+            print(f"[data] {cfg.dataset.basedir} not found -> synthetic scene")
+        return make_synthetic_scene(
+            n_train=args.synth_frames, n_val=4, n_test=8,
+            H=args.synth_res, W=args.synth_res,
+            tmax_frac=float(cfg.nvfi.tmax),
+            white_background=bool(cfg.dataset.white_background),
+        )[:7]
+    from nvfi_tpu.data import load_blender_data
+
+    return load_blender_data(
+        basedir=cfg.dataset.basedir,
+        half_res=bool(cfg.dataset.half_res),
+        testskip=int(cfg.dataset.test_skip),
+        white_background=bool(cfg.dataset.white_background),
+    )
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--checkpoint", type=int, default=0)
+    parser.add_argument("--not_train", action="store_true")
+    parser.add_argument("--eval_val", action="store_true")
+    parser.add_argument("--eval_test", action="store_true")
+    parser.add_argument("--full_res", action="store_true")
+    parser.add_argument("--static", action="store_true")
+    parser.add_argument("--vel", action="store_true")
+    parser.add_argument("--static_dynamic", action="store_true")
+    parser.add_argument("--iters", type=int, default=0, help="override train_iters")
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--synth_res", type=int, default=96)
+    parser.add_argument("--synth_frames", type=int, default=48)
+    parser.add_argument("--devices", type=int, default=0)
+    parser.add_argument("--logdir", type=str, default="")
+    parser.add_argument("opts", nargs="*", help="dot-path config overrides: key value ...")
+    args = parser.parse_args()
+
+    from nvfi_tpu.config import load_config
+
+    cfg = load_config(args.config, args.opts or None)
+    if args.full_res:
+        cfg.dataset.half_res = False
+
+    mode = "static" if args.static else "vel" if args.vel else "static_dynamic" \
+        if args.static_dynamic else "dynamic"
+
+    logdir = args.logdir or os.path.join(
+        str(cfg.experiment.logdir), str(cfg.wandb.project), str(cfg.wandb.name)
+    )
+    if args.checkpoint:
+        logdir = os.path.join(logdir, "from_checkpoint")
+    os.makedirs(logdir, exist_ok=True)
+    with open(os.path.join(logdir, "config.yaml"), "w") as f:
+        f.write(cfg.dump())
+
+    import jax
+
+    mesh = None
+    if args.devices > 1 or (args.devices == 0 and len(jax.devices()) > 1):
+        from nvfi_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.devices or None)
+        print(f"[mesh] data axis over {mesh.devices.size} devices")
+
+    dataset = build_dataset(cfg, args)
+    print(f"[data] H W focal = {dataset[6]}; train frames = {dataset[3]['train']}")
+
+    from nvfi_tpu.train.trainer import Trainer
+    from nvfi_tpu.train import checkpoint as ckpt_mod
+
+    trainer = Trainer(cfg, dataset, mode=mode, logdir=logdir, mesh=mesh)
+
+    if args.checkpoint:
+        path = ckpt_mod.find_checkpoint(os.path.dirname(logdir), args.checkpoint)
+        if path:
+            trainer.restore(path)
+            print(f"[ckpt] restored {path} at step {trainer.global_step}")
+
+    if not args.not_train:
+        iters = args.iters or None
+
+        def log(m):
+            print(
+                f"[train] it={m['it']} loss={m['loss']:.5f} "
+                f"psnr0={m['psnr_0']:.2f} psnr_t={m['psnr_t']:.2f} "
+                f"({m['elapsed']:.0f}s)", flush=True,
+            )
+
+        trainer.train(iters=iters, log_fn=log)
+        trainer.save(os.path.join(logdir, f"model_{trainer.global_step - 1:05d}"))
+
+    if args.eval_test or args.eval_val:
+        from nvfi_tpu.eval.harness import render_split
+
+        split = "test" if args.eval_test else "val"
+        preds, errors = render_split(
+            trainer.params, trainer.meta, dataset, split,
+            white_bg=bool(cfg.dataset.white_background),
+            savedir=os.path.join(logdir, f"{split}_img"),
+        )
+        print(f"[eval:{split}]", errors)
+
+
+if __name__ == "__main__":
+    main()
