@@ -42,6 +42,8 @@ def main():
     n_rays = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
     cfg = load_config("configs/synth/bat.yaml")
     cfg.renderer.n_rays = n_rays
+    cfg.renderer.batch_size = 262144
+    cfg.nvfi.compute_dtype = "bfloat16"
     # final-stage model size: jump straight to N_voxel_final, no upsampling
     cfg.nvfi.N_voxel_init = int(cfg.nvfi.N_voxel_final)
     cfg.nvfi.upsamp_list = []
@@ -56,16 +58,18 @@ def main():
           f"n_rays={n_rays} pde_pts={cfg.experiment.vel_reg_n_pts}",
           file=sys.stderr, flush=True)
 
-    # warmup (compile + first steps)
+    # warmup (compile + first steps); the device->host float() is the only
+    # reliable sync on this backend (block_until_ready returns early through
+    # the tunnel)
     t0 = time.time()
-    trainer.train(iters=3)
-    jax.block_until_ready(trainer.params)
+    m = trainer.train(iters=3)
+    float(m["loss"])
     print(f"[bench] warmup {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
 
     n_steps = 20
     t0 = time.time()
-    trainer.train(iters=trainer.global_step + n_steps)
-    jax.block_until_ready(trainer.params)
+    m = trainer.train(iters=trainer.global_step + n_steps)
+    float(m["loss"])  # forces the whole sequential step chain
     dt = (time.time() - t0) / n_steps
 
     rays_per_step = 2 * n_rays  # random-time batch + keyframe batch

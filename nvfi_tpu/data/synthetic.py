@@ -204,7 +204,11 @@ def write_blender_dataset(outdir, H=64, W=64, **kwargs):
         for i in range(counts[split]):
             rel = f"{split}/r_{i:03d}"
             img = (all_imgs[split][i] * 255).astype(np.uint8)
-            Image.fromarray(img).save(os.path.join(outdir, rel + ".png"))
+            # RGBA like real blender dumps: alpha = object coverage, so the
+            # reference loader's compositing (load_blender.py:99-104) works
+            alpha = (extras["segm"][split][i] > 0).astype(np.uint8) * 255
+            rgba = np.concatenate([img, alpha[..., None]], axis=-1)
+            Image.fromarray(rgba).save(os.path.join(outdir, rel + ".png"))
             np.save(os.path.join(outdir, rel + "_segm.npy"), extras["segm"][split][i])
             frames.append(
                 {

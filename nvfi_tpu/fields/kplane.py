@@ -36,7 +36,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.grid_sample import grid_sample_2d, grid_sample_3d
+from ..ops.grid_sample import grid_sample_2d_block as grid_sample_2d
+from ..ops.grid_sample import grid_sample_3d
 from ..ops.compositing import raw2alpha
 from ..ops.resize import resize_bilinear_ac, max_pool3d_same
 from .mlp import linear_init
@@ -86,6 +87,14 @@ class KPlaneMeta:
     compute_dtype: str = "float32"  # 'bfloat16' halves HBM gather traffic; the
     # interpolation/compositing math auto-promotes back to f32 (master weights
     # and Adam state always stay f32)
+    ray_sampling: str = "box"  # 'box' | 'ndc' | 'contracted' (reference
+    # forward :613-639 chooses between sample_ray / sample_ray_ndc /
+    # sample_ray_contracted)
+    shade_fraction: float = 0.25  # static top-K shading budget as a fraction
+    # of N*S samples; <=0 or >=1 shades densely.  With the reference's
+    # rayMarch_weight_thres=1e-4 far fewer than 25% of samples pass the mask,
+    # so the selection reproduces the reference's app_mask compaction exactly
+    # while skipping ~75% of appearance gathers + shader FLOPs.
 
     # -- derived quantities (host-side python, baked into jit) --------------
     @property
@@ -163,6 +172,10 @@ def meta_from_cfg(nvfi_cfg, aabb, grid_size, near_far) -> KPlaneMeta:
         max_n_samples=int(nvfi_cfg.max_n_samples),
         use_vel=bool(nvfi_cfg.use_vel),
         vel_gate=gate,
+        compute_dtype=str(nvfi_cfg.get("compute_dtype", "float32")),
+        ray_sampling=(
+            "contracted" if nvfi_cfg.get("contract_ray", False) else "box"
+        ),
     )
 
 
@@ -171,27 +184,40 @@ def meta_from_cfg(nvfi_cfg, aabb, grid_size, near_far) -> KPlaneMeta:
 # ---------------------------------------------------------------------------
 
 def init_params(key, meta: KPlaneMeta) -> dict:
-    """Initialize the scene param pytree (reference init_svd_volume :116-186)."""
+    """Initialize the scene param pytree (reference init_svd_volume :116-186).
+
+    Layout note: density and appearance channels are stored CONCATENATED in
+    one plane per orientation (``planes_space[i]`` has Cd + Ca channels,
+    density first).  The factorized math is per-channel, so slicing after the
+    cross-plane product equals the reference's two separate plane stacks —
+    but every sample needs 6 gathers instead of 12, and TPU gather cost is
+    index-count-bound, so this halves the hot-loop gather time.
+    Initialization of each block matches the reference exactly (density space
+    uniform(0.1,0.5) x 0.8 softplus / 0.5 otherwise; app x 0.1; time = ones).
+    """
     gs = meta.grid_size
     K = meta.num_keyframes
     keys = jax.random.split(key, 12)
 
     density_scale = 0.8 if meta.fea2dense == "softplus" else 0.5
 
-    def space_plane(k, i, n_comp, scale):
+    def space_plane(kd, ka, i):
         m0, m1 = MAT_SPACE[i]
-        shape = (gs[m1], gs[m0], n_comp)  # channels-last (H, W, C)
-        return scale * jax.random.uniform(k, shape, jnp.float32, 0.1, 0.5)
+        d = density_scale * jax.random.uniform(
+            kd, (gs[m1], gs[m0], meta.density_n_comp), jnp.float32, 0.1, 0.5
+        )
+        a = 0.1 * jax.random.uniform(
+            ka, (gs[m1], gs[m0], meta.app_n_comp), jnp.float32, 0.1, 0.5
+        )
+        return jnp.concatenate([d, a], axis=-1)
 
-    def time_plane(i, n_comp):
+    def time_plane(i):
         m0, _ = MAT_TIME[i]
-        return jnp.ones((K, gs[m0], n_comp), jnp.float32)
+        return jnp.ones((K, gs[m0], meta.density_n_comp + meta.app_n_comp), jnp.float32)
 
     params = {
-        "density_space": [space_plane(keys[i], i, meta.density_n_comp, density_scale) for i in range(3)],
-        "density_time": [time_plane(i, meta.density_n_comp) for i in range(3)],
-        "app_space": [space_plane(keys[3 + i], i, meta.app_n_comp, 0.1) for i in range(3)],
-        "app_time": [time_plane(i, meta.app_n_comp) for i in range(3)],
+        "planes_space": [space_plane(keys[i], keys[3 + i], i) for i in range(3)],
+        "planes_time": [time_plane(i) for i in range(3)],
         "basis_mat": linear_init(keys[6], meta.app_n_comp, meta.app_dim, bias=False),
         "basis_mat_density": linear_init(
             keys[7], meta.density_n_comp, DENSITY_DATA_DIM[meta.density_mode], bias=False
@@ -261,7 +287,7 @@ def _plane_product(planes_space, planes_time, xyzt):
     """Product of 3 space-plane and 3 time-plane bilinear samples.
 
     xyzt: (..., 4) with spatial dims normalized to [-1,1] and time already
-    through normalize_time.  Returns (..., C).
+    through normalize_time.  Returns (..., C) over the merged channel stack.
     """
     feat_space = None
     feat_time = None
@@ -277,17 +303,50 @@ def _plane_product(planes_space, planes_time, xyzt):
     return feat_space * feat_time
 
 
-def density_feature(params, meta: KPlaneMeta, xyzt):
-    """(..., 4) -> density feature (reference compute_densityfeature :233-272)."""
-    fused = _plane_product(params["density_space"], params["density_time"], xyzt)
+def _decode_density(params, meta: KPlaneMeta, fused_d):
     if meta.density_mode != "Density":
-        return fused @ params["basis_mat_density"]["w"]
-    return jnp.sum(fused, axis=-1, keepdims=True)
+        return fused_d @ params["basis_mat_density"]["w"]
+    return jnp.sum(fused_d, axis=-1, keepdims=True)
+
+
+def field_features(params, meta: KPlaneMeta, xyzt):
+    """Fused density + appearance features from ONE set of 6 plane gathers.
+
+    Returns (density_feature (..., Dd), app_feature (..., app_dim)) —
+    identical values to the reference's separate compute_densityfeature /
+    compute_appfeature (tensorf_keyframe.py:233-310); the channel merge is
+    exact because the cross-plane product is elementwise per channel.
+    """
+    fused = _plane_product(params["planes_space"], params["planes_time"], xyzt)
+    cd = meta.density_n_comp
+    density = _decode_density(params, meta, fused[..., :cd])
+    app = fused[..., cd:] @ params["basis_mat"]["w"]
+    return density, app
+
+
+def density_feature(params, meta: KPlaneMeta, xyzt):
+    """(..., 4) -> density feature (reference compute_densityfeature :233-272).
+
+    Slices the density channel block out of the merged planes BEFORE the quad
+    gather, so the dense density sweep reads only Cd channels per corner.
+    """
+    cd = meta.density_n_comp
+    fused = _plane_product(
+        [p[..., :cd] for p in params["planes_space"]],
+        [p[..., :cd] for p in params["planes_time"]],
+        xyzt,
+    )
+    return _decode_density(params, meta, fused)
 
 
 def app_feature(params, meta: KPlaneMeta, xyzt):
     """(..., 4) -> (..., app_dim) (reference compute_appfeature :274-310)."""
-    fused = _plane_product(params["app_space"], params["app_time"], xyzt)
+    cd = meta.density_n_comp
+    fused = _plane_product(
+        [p[..., cd:] for p in params["planes_space"]],
+        [p[..., cd:] for p in params["planes_time"]],
+        xyzt,
+    )
     return fused @ params["basis_mat"]["w"]
 
 
@@ -354,6 +413,56 @@ def integrate_pos(params, meta: KPlaneMeta, xyz, t, base_times, n_steps: int | N
 # Ray sampling
 # ---------------------------------------------------------------------------
 
+def sample_ray_ndc(meta: KPlaneMeta, rays_o, rays_d, n_samples: int, training: bool, key):
+    """NDC sampling: linear in z over [near, far] with training jitter
+    (reference models/tensorf_base.py:270-282)."""
+    near, far = meta.near_far
+    interpx = jnp.linspace(near, far, n_samples, dtype=rays_o.dtype)[None, :]
+    if training:
+        interpx = interpx + jax.random.uniform(
+            key, (rays_o.shape[0], n_samples), rays_o.dtype
+        ) * ((far - near) / n_samples)
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * interpx[..., None]
+    a = meta.aabb_np
+    valid = jnp.all((pts >= a[0]) & (pts <= a[1]), axis=-1)
+    return pts, interpx, valid
+
+
+def sample_ray_contracted(meta: KPlaneMeta, rays_o, rays_d, n_samples: int,
+                          training: bool, key):
+    """Unbounded-scene sampling with scene contraction (reference
+    models/tensorf_base.py:316-351): half the samples linear in [near, 2],
+    half inverse-depth out to far, then points beyond |x|=1 contracted to the
+    2-sphere shell ``(2 - 1/|x|) * x/|x|``."""
+    near, far = meta.near_far
+    inner_n = n_samples - n_samples // 2
+    outer_n = n_samples // 2
+    k1, k2 = jax.random.split(key) if key is not None else (None, None)
+
+    ix_inner = jnp.linspace(near, 2.0, inner_n + 1, dtype=rays_o.dtype)[None, :]
+    if training:
+        jitter = jax.random.uniform(k1, (rays_o.shape[0], inner_n + 1), rays_o.dtype)
+        jitter = jitter.at[:, -1].set(0.0) * ((2.0 - near) / inner_n)
+        ix_inner = ix_inner + jitter
+    ix_inner = 0.5 * (ix_inner[:, 1:] + ix_inner[:, :-1])
+
+    rng = jnp.arange(outer_n + 1, dtype=rays_o.dtype)[None, :]
+    if training:
+        jr = jax.random.uniform(k2, (rays_o.shape[0], outer_n + 1), rays_o.dtype)
+        rng = rng + jr.at[:, -1].set(0.0)
+    rng = jnp.flip(rng, axis=1)
+    rng = 0.5 * (rng[:, 1:] + rng[:, :-1])
+    ix_outer = 1.0 / (1.0 / far + (1.0 / 2.0 - 1.0 / far) * rng / outer_n)
+
+    interpx = jnp.concatenate([ix_inner, ix_outer], axis=-1)
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * interpx[..., None]
+    norm = jnp.max(jnp.abs(pts), axis=-1, keepdims=True)
+    contracted = (2.0 - 1.0 / jnp.maximum(norm, 1.0)) * pts / jnp.maximum(norm, 1e-9)
+    pts = jnp.where(norm > 1.0, contracted, pts)
+    valid = jnp.ones(pts.shape[:-1], bool)
+    return pts, interpx, valid
+
+
 def sample_ray(meta: KPlaneMeta, rays_o, rays_d, n_samples: int, training: bool, key):
     """Uniform-in-box stratified sampling (reference models/tensorf_base.py:290-314).
 
@@ -396,6 +505,7 @@ def render_rays(
     alpha_state: dict | None = None,
     n_samples: int | None = None,
     mask_params=None,
+    advect: bool = True,
 ):
     """Render a batch of rays at time(s) t.
 
@@ -405,6 +515,9 @@ def render_rays(
       alpha_state: optional {'volume': (D,H,W), 'aabb': (2,3)} occupancy used
         for eval-only sample pruning (reference :656-661).
       mask_params: optional MaskField params when ``meta.mask_dim > 0``.
+      advect: statically disable RK2 advection — valid ONLY when every t in
+        the batch is exactly a keyframe time (the advected result would be
+        discarded by the is_key mask anyway); saves two velocity-MLP sweeps.
 
     Returns dict with rgb (N,3), depth (N,), acc (N,), weight (N,S),
     mask (N, mask_dim or 3).
@@ -414,10 +527,21 @@ def render_rays(
     N = rays_o.shape[0]
     k_strat, k_bg = (jax.random.split(key) if key is not None else (None, None))
 
-    pts, z_vals, valid = sample_ray(meta, rays_o, rays_d, n_samples, training, k_strat)
+    if meta.ray_sampling == "ndc":
+        pts, z_vals, valid = sample_ray_ndc(meta, rays_o, rays_d, n_samples, training, k_strat)
+    elif meta.ray_sampling == "contracted":
+        pts, z_vals, valid = sample_ray_contracted(meta, rays_o, rays_d, n_samples, training, k_strat)
+    else:
+        pts, z_vals, valid = sample_ray(meta, rays_o, rays_d, n_samples, training, k_strat)
     dists = jnp.concatenate(
         [z_vals[:, 1:] - z_vals[:, :-1], jnp.zeros_like(z_vals[:, :1])], axis=-1
     )
+    if meta.ray_sampling in ("ndc", "contracted"):
+        # reference scales dists by |d| and normalizes view directions
+        # (tensorf_keyframe.py:617-629)
+        d_norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        dists = dists * d_norm
+        rays_d = rays_d / d_norm
     viewdirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
 
     t = jnp.asarray(t, dtype=pts.dtype)
@@ -437,15 +561,22 @@ def render_rays(
         alphas = sample_alpha(alpha_state, xyz)
         valid = valid & (alphas > 0)
 
-    # Per-point field evaluation — advection, density, appearance, shading —
-    # wrapped in jax.checkpoint: the (N, S, 128)-wide MLP activations are
-    # rematerialized in the backward pass instead of living in HBM, which is
-    # what makes full-scale fixed-shape training fit on a 16 GB chip
-    # (SURVEY.md §7.1.2's masked-compute design + remat).
-    def point_eval(params, xyz, t, base_times, viewdirs, aux_t, aux_off):
-        if meta.use_vel:
+    # Two-pass evaluation (the fixed-shape analogue of the reference's
+    # ray_valid / app_mask boolean compaction, tensorf_keyframe.py:656-735):
+    #
+    #   pass 1 (dense, rematerialized): advect every sample and evaluate ONLY
+    #     the density channels (thin Cd-channel quad gathers) -> weights;
+    #   pass 2 (sparse): shade only the top-K samples by compositing weight —
+    #     K is a static budget; any sample above rayMarch_weight_thres that
+    #     falls outside the budget is dropped (with the default 25% budget
+    #     that set is empty in practice), and selected samples below the
+    #     threshold are zeroed exactly like the reference's app_mask.
+    cp = cast_compute(params, meta)
+
+    def density_pass(cp, xyz, t, base_times):
+        if meta.use_vel and advect:
             n_steps = meta.max_adv_steps if transfer_vel else 1
-            advected = integrate_pos(params, meta, xyz, t, base_times, n_steps=n_steps)
+            advected = integrate_pos(cp, meta, xyz, t, base_times, n_steps=n_steps)
             is_key = jnp.isclose(t, base_times)
             xyz_eval = jnp.where(is_key, xyz, advected)
             bt = base_times
@@ -453,29 +584,65 @@ def render_rays(
             xyz_eval = xyz
             bt = t
         xyzt_eval = jnp.concatenate([xyz_eval, normalize_time(meta, bt)], axis=-1)
-        aux = {"times": aux_t, "time_offset": aux_off}
-        sigma_feat = density_feature(params, meta, xyzt_eval)
+        aux = {"times": t[..., 0], "time_offset": (t - base_times)[..., 0]}
+        sigma_feat = density_feature(cp, meta, xyzt_eval)
         sigma = feature2density(meta, sigma_feat, aux)
-        app_feat = app_feature(params, meta, xyzt_eval)
-        shader = make_shader(meta.shading_mode, meta.view_pe, meta.pos_pe, meta.fea_pe)
-        rgb_pts = shader(params["shader"], xyz_eval, viewdirs, app_feat, aux)
-        return sigma, rgb_pts, xyz_eval
+        return sigma.astype(jnp.float32), xyz_eval.astype(jnp.float32)
 
-    point_eval = jax.checkpoint(point_eval)
-    sigma, rgb_pts, xyz_eval = point_eval(
-        cast_compute(params, meta), xyz, t, base_times, viewdirs,
-        t[..., 0], time_offset[..., 0]
-    )
-    sigma = sigma.astype(jnp.float32)
-    rgb_pts = rgb_pts.astype(jnp.float32)
+    density_pass = jax.checkpoint(density_pass)
+    sigma, xyz_eval = density_pass(cp, xyz, t, base_times)
     sigma = jnp.where(valid, sigma, 0.0)
 
     alpha, weight, bg_w = raw2alpha(sigma, dists * meta.distance_scale)
     app_mask = weight > meta.raymarch_weight_thres
-    rgb_pts = jnp.where(app_mask[..., None], rgb_pts, 0.0)
-
     acc = jnp.sum(weight, axis=-1)
-    rgb = jnp.sum(weight[..., None] * rgb_pts, axis=-2)
+
+    S = n_samples
+    total = N * S
+    frac = meta.shade_fraction
+    use_topk = 0.0 < frac < 1.0 and total > 512
+    shader = make_shader(meta.shading_mode, meta.view_pe, meta.pos_pe, meta.fea_pe)
+
+    if use_topk:
+        K = min(total, max(128, (int(total * frac) + 127) // 128 * 128))
+        score = jnp.where(app_mask, weight, 0.0).reshape(-1)
+        sel = jax.lax.stop_gradient(
+            jnp.argsort(-score)[:K]
+        )
+        ray_id = sel // S
+        xyz_sel = xyz_eval.reshape(-1, 3)[sel]
+        view_sel = viewdirs.reshape(-1, 3)[sel]
+        bt_sel = base_times.reshape(-1)[sel]
+        aux_sel = {
+            "times": t.reshape(-1)[sel],
+            "time_offset": time_offset.reshape(-1)[sel],
+        }
+
+        def shade_pass(cp, xyz_sel, bt_sel, view_sel, aux_sel):
+            xyzt = jnp.concatenate(
+                [xyz_sel, normalize_time(meta, bt_sel)[..., None]], axis=-1
+            )
+            app = app_feature(cp, meta, xyzt)
+            return shader(cp["shader"], xyz_sel, view_sel, app, aux_sel).astype(jnp.float32)
+
+        shade_pass = jax.checkpoint(shade_pass)
+        rgb_sel = shade_pass(cp, xyz_sel, bt_sel, view_sel, aux_sel)
+        w_sel = weight.reshape(-1)[sel] * app_mask.reshape(-1)[sel]
+        rgb = jnp.zeros((N, 3), jnp.float32).at[ray_id].add(w_sel[:, None] * rgb_sel)
+    else:
+
+        def shade_dense(cp, xyz_eval, base_times, viewdirs):
+            xyzt_eval = jnp.concatenate(
+                [xyz_eval, normalize_time(meta, base_times)], axis=-1
+            )
+            aux = {"times": t[..., 0], "time_offset": time_offset[..., 0]}
+            app = app_feature(cp, meta, xyzt_eval)
+            return shader(cp["shader"], xyz_eval, viewdirs, app, aux).astype(jnp.float32)
+
+        shade_dense = jax.checkpoint(shade_dense)
+        rgb_pts = shade_dense(cp, xyz_eval, base_times, viewdirs)
+        rgb_pts = jnp.where(app_mask[..., None], rgb_pts, 0.0)
+        rgb = jnp.sum(weight[..., None] * rgb_pts, axis=-2)
 
     # white-background compositing with the reference's training coin flip
     # (reference :740: `if white_bg or (training and rand() < 0.5)`)
@@ -490,9 +657,15 @@ def render_rays(
 
     # optional segmentation head composited along the ray (reference :749-755)
     if meta.mask_dim > 0 and mask_params is not None:
-        m = mask_mod.apply(mask_params, xyz_eval)
-        m = jnp.where(app_mask[..., None], m, 0.0)
-        mask_map = jnp.sum(weight[..., None] * m, axis=-2)
+        if use_topk:
+            m_sel = mask_mod.apply(mask_params, xyz_sel)
+            mask_map = jnp.zeros((N, meta.mask_dim), jnp.float32).at[ray_id].add(
+                w_sel[:, None] * m_sel
+            )
+        else:
+            m = mask_mod.apply(mask_params, xyz_eval)
+            m = jnp.where(app_mask[..., None], m, 0.0)
+            mask_map = jnp.sum(weight[..., None] * m, axis=-2)
     else:
         mask_map = jnp.zeros((N, 3), dtype=rgb.dtype)
 
@@ -600,10 +773,8 @@ def upsample(params: dict, meta: KPlaneMeta, res_target: tuple, new_keyframes: i
         m0, _ = MAT_TIME[i]
         return resize_bilinear_ac(plane, (new_keyframes, res_target[m0]), axes=(0, 1))
 
-    for name, fn in (("density_space", up_space), ("app_space", up_space)):
-        new_params[name] = [fn(p, i) for i, p in enumerate(params[name])]
-    for name, fn in (("density_time", up_time), ("app_time", up_time)):
-        new_params[name] = [fn(p, i) for i, p in enumerate(params[name])]
+    new_params["planes_space"] = [up_space(p, i) for i, p in enumerate(params["planes_space"])]
+    new_params["planes_time"] = [up_time(p, i) for i, p in enumerate(params["planes_time"])]
 
     new_meta = replace(meta, grid_size=res_target, num_keyframes=int(new_keyframes))
     return new_params, new_meta
@@ -630,10 +801,8 @@ def shrink(params: dict, meta: KPlaneMeta, new_aabb: np.ndarray):
         m0, _ = MAT_TIME[i]
         return plane[:, t_l[m0]:b_r[m0], :]
 
-    for name, fn in (("density_space", crop_space), ("app_space", crop_space)):
-        new_params[name] = [fn(p, i) for i, p in enumerate(params[name])]
-    for name, fn in (("density_time", crop_time), ("app_time", crop_time)):
-        new_params[name] = [fn(p, i) for i, p in enumerate(params[name])]
+    new_params["planes_space"] = [crop_space(p, i) for i, p in enumerate(params["planes_space"])]
+    new_params["planes_time"] = [crop_time(p, i) for i, p in enumerate(params["planes_time"])]
 
     # snap the aabb to the actually-cropped voxel boundaries (reference :448-454)
     t_l_r = t_l / (gs - 1)
@@ -655,13 +824,14 @@ def shrink(params: dict, meta: KPlaneMeta, new_aabb: np.ndarray):
 # Regularizers (reference :188-231)
 # ---------------------------------------------------------------------------
 
-def density_l1(params):
+def density_l1(params, meta: KPlaneMeta):
     """L1 of density planes; time planes penalized toward 1 (reference :188-203)."""
+    cd = meta.density_n_comp
     total = 0.0
-    for p in params["density_space"]:
-        total = total + jnp.mean(jnp.abs(p))
-    for p in params["density_time"]:
-        total = total + jnp.mean(jnp.abs(1.0 - p))
+    for p in params["planes_space"]:
+        total = total + jnp.mean(jnp.abs(p[..., :cd]))
+    for p in params["planes_time"]:
+        total = total + jnp.mean(jnp.abs(1.0 - p[..., :cd]))
     return total
 
 
@@ -682,17 +852,19 @@ def _tv(plane, t_axis: bool):
 
 
 def tv_loss_density(params, meta: KPlaneMeta):
+    cd = meta.density_n_comp
     total = 0.0
-    for p in params["density_space"]:
-        total = total + _tv(p, False) * 1e-2
+    for p in params["planes_space"]:
+        total = total + _tv(p[..., :cd], False) * 1e-2
     if meta.num_keyframes > 1:
-        for p in params["density_time"]:
-            total = total + _tv(p, True) * 1e-2
+        for p in params["planes_time"]:
+            total = total + _tv(p[..., :cd], True) * 1e-2
     return total
 
 
 def tv_loss_app(params, meta: KPlaneMeta):
+    cd = meta.density_n_comp
     total = 0.0
-    for p in params["app_space"]:
-        total = total + _tv(p, False) * 1e-2
+    for p in params["planes_space"]:
+        total = total + _tv(p[..., cd:], False) * 1e-2
     return total

@@ -20,6 +20,16 @@ C4 = (2.5033429417967046, -1.7701307697799304, 0.9461746957575601,
       0.47308734787878004, -1.7701307697799304, 0.6258357354491761)
 
 
+def eval_sh(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+    """Contract stored SH coefficients with the basis at unit directions
+    (reference models/sh.py:34-85).
+
+    sh: (..., C, (deg+1)^2) coefficients; dirs: (..., 3).  Returns (..., C).
+    """
+    basis = eval_sh_bases(deg, dirs)  # (..., B)
+    return jnp.sum(sh * basis[..., None, :], axis=-1)
+
+
 def eval_sh_bases(deg: int, dirs: jnp.ndarray) -> jnp.ndarray:
     """(..., 3) unit directions -> (..., (deg+1)^2) SH basis values."""
     assert 0 <= deg <= 4

@@ -33,6 +33,21 @@ def raw2alpha(sigma: jnp.ndarray, dist: jnp.ndarray):
     return alpha, weights, T[..., -1:]
 
 
+def raw2alpha_seg(sigma: jnp.ndarray, dist: jnp.ndarray):
+    """Multi-field compositing: transmittance is the product over fields
+    (reference models/tensorf_model_utils.py:200-211).
+
+    sigma: (F, R, S) per-field densities; dist: (R, S).
+    Returns alpha (F,R,S), weights (F,R,S), bg_T (R,1).
+    """
+    alpha = 1.0 - jnp.exp(-sigma * dist[None])
+    one = jnp.ones_like(alpha[..., :1])
+    T = jnp.cumprod(jnp.concatenate([one, 1.0 - alpha + 1e-10], axis=-1), axis=-1)
+    T = jnp.prod(T, axis=0)  # combined transmittance across fields
+    weights = alpha * T[None, :, :-1]
+    return alpha, weights, T[:, -1:]
+
+
 def alpha2weights(alpha: jnp.ndarray):
     """Weights from precomputed alpha (reference models/tensorf_model_utils.py:214-223)."""
     one = jnp.ones_like(alpha[..., :1])

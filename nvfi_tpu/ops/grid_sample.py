@@ -66,6 +66,60 @@ def grid_sample_2d(plane: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def make_quad_plane(plane: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, C) -> (H-1, W-1, 4C) cell-quad view: channels ordered
+    [y0x0, y0x1, y1x0, y1x1].  One flat row-gather of this array fetches all
+    four bilinear corners of a cell at once (see grid_sample_2d_block)."""
+    return jnp.concatenate(
+        [plane[:-1, :-1], plane[:-1, 1:], plane[1:, :-1], plane[1:, 1:]],
+        axis=-1,
+    )
+
+
+def grid_sample_2d_block(plane: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear plane sampling with ONE flat row-gather per point.
+
+    Numerically identical to :func:`grid_sample_2d` (torch align_corners=True,
+    zeros padding) but ~4x cheaper on TPU, where gather cost is bound by index
+    count, not bytes: the plane is first expanded to a cell-quad array whose
+    rows hold all 4 corners of a cell (a cheap dense concat), each point
+    fetches its (clamped) cell row with a single 4C-wide gather, and every
+    corner is weighted with the tent function ``max(0, 1 - |x - col|)`` —
+    which reproduces the interior bilinear weights, the boundary cases, and
+    the zero contribution of out-of-range corners in one formula.
+
+    Args / returns: identical to grid_sample_2d.
+    """
+    H, W, C = plane.shape
+    quad = make_quad_plane(plane).reshape((H - 1) * (W - 1), 4 * C)
+
+    x = (coords[..., 0] + 1.0) * 0.5 * (W - 1)
+    y = (coords[..., 1] + 1.0) * 0.5 * (H - 1)
+    batch_shape = x.shape
+    xf = x.reshape(-1)
+    yf = y.reshape(-1)
+
+    x0 = jnp.clip(jnp.floor(xf).astype(jnp.int32), 0, max(W - 2, 0))
+    y0 = jnp.clip(jnp.floor(yf).astype(jnp.int32), 0, max(H - 2, 0))
+    rows = quad[y0 * (W - 1) + x0]  # (P, 4C)
+
+    x0f = x0.astype(xf.dtype)
+    y0f = y0.astype(yf.dtype)
+    wx0 = jnp.clip(1.0 - jnp.abs(xf - x0f), 0.0, 1.0)
+    wx1 = jnp.clip(1.0 - jnp.abs(xf - (x0f + 1.0)), 0.0, 1.0)
+    wy0 = jnp.clip(1.0 - jnp.abs(yf - y0f), 0.0, 1.0)
+    wy1 = jnp.clip(1.0 - jnp.abs(yf - (y0f + 1.0)), 0.0, 1.0)
+
+    r = rows.astype(wx0.dtype)
+    out = (
+        r[:, 0 * C : 1 * C] * (wy0 * wx0)[:, None]
+        + r[:, 1 * C : 2 * C] * (wy0 * wx1)[:, None]
+        + r[:, 2 * C : 3 * C] * (wy1 * wx0)[:, None]
+        + r[:, 3 * C : 4 * C] * (wy1 * wx1)[:, None]
+    )
+    return out.reshape(*batch_shape, C)
+
+
 def grid_sample_1d(line: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     """Sample a channels-last line grid at normalized 1D coordinates.
 

@@ -24,7 +24,7 @@ EPS = 1e-8
 def make_lr_tree(params: dict, lr_grid: float, lr_net: float) -> dict:
     """Reference param grouping: planes at lr_grid, everything else at lr_net
     (velocity also gets lr_net — reference tensorf_keyframe.py:548-549)."""
-    grid_keys = {"density_space", "density_time", "app_space", "app_time",
+    grid_keys = {"planes_space", "planes_time",
                  "density_plane", "density_line", "app_plane", "app_line"}
 
     def assign(path_key, subtree):

@@ -71,6 +71,8 @@ class TrainHP:
     TV_weight_app: float = 1.0
     vel_reg_weight: float = 1.0
     vel_reg_n_pts: int = 262144
+    vel_occupied_budget: int = 32768  # second-order Jacobian point budget
+    # (uniform subsample of occupied candidates; see physics/pde.py)
     upsamp_list: tuple = (2000, 4000, 6000, 8000, 10000)
     update_alphamask_list: tuple = ()
     n_voxel_init: int = 262144
@@ -104,6 +106,7 @@ class TrainHP:
             TV_weight_app=float(e.TV_weight_app),
             vel_reg_weight=float(e.vel_reg_weight),
             vel_reg_n_pts=int(e.vel_reg_n_pts),
+            vel_occupied_budget=int(e.get("vel_occupied_budget", 32768)),
             upsamp_list=tuple(cfg.nvfi.upsamp_list),
             update_alphamask_list=tuple(cfg.nvfi.update_AlphaMask_list),
             n_voxel_init=int(cfg.nvfi.N_voxel_init),
@@ -162,7 +165,7 @@ def make_train_step(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str, H: int, W: 
         ray_chunk -= 1
     n_chunks = n_rays // ray_chunk
 
-    def render_batch(params, key, pose, image, t):
+    def render_batch(params, key, pose, image, t, advect=True):
         k_pix, k_render = jax.random.split(key)
         pix = jax.random.choice(k_pix, H * W, (n_rays,), replace=False)
         ii, jj = pix // W, pix % W
@@ -173,7 +176,7 @@ def make_train_step(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str, H: int, W: 
         def chunk_loss(params, ro, rd, tgt, kr):
             out = kplane.render_rays(
                 params, meta, jnp.full((ro.shape[0],), t), ro, rd, key=kr,
-                training=True, white_bg=hp.white_bg,
+                training=True, white_bg=hp.white_bg, advect=advect,
             )
             return jnp.sum((out["rgb"] - tgt) ** 2)
 
@@ -213,9 +216,11 @@ def make_train_step(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str, H: int, W: 
             )
             loss = loss + rgb_loss_t
         if mode in ("static", "static_dynamic"):
+            # keyframe batch: times are exact keyframes, so advection is a
+            # statically-known no-op — skip the two velocity-MLP sweeps
             rgb_loss_0 = render_batch(
                 params, keys[1], poses[key_frame_idx], images[key_frame_idx],
-                times[key_frame_idx]
+                times[key_frame_idx], advect=False
             )
             loss = loss + rgb_loss_0
 
@@ -224,7 +229,7 @@ def make_train_step(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str, H: int, W: 
         if mode in ("static", "static_dynamic"):
             if hp.L1_weight_initial > 0:
                 # weight decays per-iter like the lr (reference :211)
-                l1 = kplane.density_l1(params)
+                l1 = kplane.density_l1(params, meta)
                 loss = loss + hp.L1_weight_initial * reg_scale * l1
                 metrics["l1"] = l1
             if hp.TV_weight_density > 0:
@@ -237,7 +242,8 @@ def make_train_step(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str, H: int, W: 
                 metrics["tv_app"] = tv_a
 
         if use_pde:
-            pde = vel_pde_loss(params, meta, keys[2], n_pde)
+            budget = min(hp.vel_occupied_budget, n_pde)
+            pde = vel_pde_loss(params, meta, keys[2], n_pde, occupied_budget=budget)
             loss = loss + hp.vel_reg_weight * reg_scale * pde
             metrics["vel_pde"] = pde
 

@@ -1,1 +1,1 @@
-from . import seg_loss
+from . import seg_loss, viz

@@ -46,6 +46,16 @@ class LPIPS:
         return torch.zeros(1)
 """
 
+# torchvision is only used by the reference for ToTensor in a viz helper
+STUB_TORCHVISION_INIT = "from . import transforms\n"
+STUB_TORCHVISION_TRANSFORMS = """
+class ToTensor:
+    def __call__(self, x):
+        import numpy as np, torch
+        arr = np.asarray(x, dtype=np.float32) / 255.0
+        return torch.tensor(arr).permute(2, 0, 1)
+"""
+
 
 def main():
     parser = argparse.ArgumentParser()
@@ -153,6 +163,12 @@ segmentation: {{n_object: 8, n_iters: 1000, smooth_iter: 500, lrate: 0.005,
         f.write(STUB_WANDB)
     with open(os.path.join(stubs, "lpips.py"), "w") as f:
         f.write(STUB_LPIPS)
+    tv_dir = os.path.join(stubs, "torchvision")
+    os.makedirs(tv_dir, exist_ok=True)
+    with open(os.path.join(tv_dir, "__init__.py"), "w") as f:
+        f.write(STUB_TORCHVISION_INIT)
+    with open(os.path.join(tv_dir, "transforms.py"), "w") as f:
+        f.write(STUB_TORCHVISION_TRANSFORMS)
 
     env = dict(os.environ)
     env["PYTHONPATH"] = stubs

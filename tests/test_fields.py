@@ -163,6 +163,6 @@ def test_upsample_preserves_function_at_corners():
     params = kplane.init_params(jax.random.PRNGKey(0), meta)
     p2, m2 = kplane.upsample(params, meta, (15, 15, 15), meta.num_keyframes)
     # input grid index i maps to output index 2i for 8->15 (factor (15-1)/(8-1)=2)
-    a = np.asarray(params["density_space"][0])
-    b = np.asarray(p2["density_space"][0])
+    a = np.asarray(params["planes_space"][0])
+    b = np.asarray(p2["planes_space"][0])
     np.testing.assert_allclose(b[::2, ::2], a, rtol=1e-5, atol=1e-6)

@@ -40,6 +40,25 @@ def test_grid_sample_2d_matches_torch():
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_grid_sample_2d_block_matches_torch():
+    """The quad-gather fast path must be bit-identical to the corner path
+    (and hence to torch) including boundary and out-of-range coords."""
+    from nvfi_tpu.ops.grid_sample import grid_sample_2d_block
+
+    rng = np.random.RandomState(7)
+    H, W, C, N = 8, 11, 6, 513
+    plane = rng.randn(H, W, C).astype(np.float32)
+    coords = rng.uniform(-1.7, 1.7, size=(N, 2)).astype(np.float32)
+    coords[:4] = [[-1, -1], [1, 1], [0.9999, -0.3], [-1.0001, 0.4]]
+
+    ours = np.asarray(grid_sample_2d_block(jnp.array(plane), jnp.array(coords)))
+    t_plane = torch.tensor(plane).permute(2, 0, 1)[None]
+    t_grid = torch.tensor(coords).view(1, N, 1, 2)
+    ref = F.grid_sample(t_plane, t_grid, align_corners=True, padding_mode="zeros")
+    ref = ref[0, :, :, 0].T.numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_grid_sample_3d_matches_torch():
     rng = np.random.RandomState(1)
     D, H, W, N = 5, 6, 7, 123
