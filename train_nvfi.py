@@ -52,6 +52,7 @@ def main():
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--checkpoint", type=int, default=0)
     parser.add_argument("--not_train", action="store_true")
+    parser.add_argument("--wandb", action="store_true")
     parser.add_argument("--eval_val", action="store_true")
     parser.add_argument("--eval_test", action="store_true")
     parser.add_argument("--full_res", action="store_true")
@@ -100,6 +101,20 @@ def main():
     from nvfi_tpu.train.trainer import Trainer
     from nvfi_tpu.train import checkpoint as ckpt_mod
 
+    if "Keyframe" not in str(cfg.nvfi.model_name):
+        # static TensoRF family (TensorVMSplit / TensorCP)
+        from nvfi_tpu.train.static import StaticTrainer
+
+        trainer = StaticTrainer(cfg, dataset)
+
+        def slog(m):
+            print(f"[static] it={m['it']} loss={m['loss']:.5f} "
+                  f"psnr0={m['psnr_0']:.2f} ({m['elapsed']:.0f}s)", flush=True)
+
+        if not args.not_train:
+            trainer.train(iters=args.iters or None, log_fn=slog)
+        return
+
     trainer = Trainer(cfg, dataset, mode=mode, logdir=logdir, mesh=mesh)
 
     if args.checkpoint:
@@ -108,8 +123,21 @@ def main():
             trainer.restore(path)
             print(f"[ckpt] restored {path} at step {trainer.global_step}")
 
+    wandb = None
+    if args.wandb:
+        try:
+            import wandb as _wandb
+
+            _wandb.init(project=str(cfg.wandb.project), name=str(cfg.wandb.name),
+                        config=cfg.to_dict(), notes=str(cfg.wandb.get("notes", "")))
+            wandb = _wandb
+        except ImportError:
+            print("[wandb] package not installed; falling back to JSONL metrics")
+
     if not args.not_train:
         iters = args.iters or None
+        metrics_path = os.path.join(logdir, "metrics.jsonl")
+        metrics_f = open(metrics_path, "a")
 
         def log(m):
             print(
@@ -117,8 +145,15 @@ def main():
                 f"psnr0={m['psnr_0']:.2f} psnr_t={m['psnr_t']:.2f} "
                 f"({m['elapsed']:.0f}s)", flush=True,
             )
+            import json
+
+            metrics_f.write(json.dumps(m) + "\n")
+            metrics_f.flush()
+            if wandb:
+                wandb.log(m, step=m["it"])
 
         trainer.train(iters=iters, log_fn=log)
+        metrics_f.close()
         trainer.save(os.path.join(logdir, f"model_{trainer.global_step - 1:05d}"))
 
     if args.eval_test or args.eval_val:
