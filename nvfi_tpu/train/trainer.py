@@ -79,6 +79,9 @@ class TrainHP:
     n_voxel_final: int = 8000000
     num_keyframes_end: int = 16
     white_bg: bool = True
+    multi_frame: bool = False  # sample each ray from a random frame instead of
+    # one camera per step (the reference's latent BatchedRays idea,
+    # models/camera.py:7-31); decorrelates batches — off by default for parity
     save_every: int = 5000
     print_every: int = 500
     validate_every: int = 1000
@@ -113,6 +116,7 @@ class TrainHP:
             n_voxel_final=int(cfg.nvfi.N_voxel_final),
             num_keyframes_end=int(cfg.nvfi.num_keyframes_end),
             white_bg=bool(cfg.dataset.white_background),
+            multi_frame=bool(e.get("multi_frame_batch", False)),
             save_every=int(e.save_every),
             print_every=int(e.print_every),
             validate_every=int(e.validate_every),
@@ -172,22 +176,43 @@ def make_train_step(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str, H: int, W: 
         ray_o, ray_d = _rays_from_pose(pose, H, W, focal, ii, jj)
         ray_o, ray_d = constrain(ray_o), constrain(ray_d)
         target = constrain(image[ii, jj])
+        return _chunked_mse(params, ray_o, ray_d, target, t, k_render, advect)
 
-        def chunk_loss(params, ro, rd, tgt, kr):
+    def render_batch_multi(params, key, pool, poses, images, times, advect=True):
+        """Epoch-style batch: each ray drawn from a random frame in ``pool``."""
+        k_f, k_pix, k_render = jax.random.split(key, 3)
+        f = pool[jax.random.randint(k_f, (n_rays,), 0, pool.shape[0])]
+        pix = jax.random.randint(k_pix, (n_rays,), 0, H * W)
+        ii, jj = pix // W, pix % W
+        pose = poses[f]  # (n_rays, 4, 4)
+        x = (jj.astype(jnp.float32) - W * 0.5) / focal
+        y = -(ii.astype(jnp.float32) - H * 0.5) / focal
+        dirs = jnp.stack([x, y, -jnp.ones_like(x)], axis=-1)
+        ray_d = jnp.einsum("nj,nij->ni", dirs, pose[:, :3, :3])
+        ray_o = pose[:, :3, 3]
+        ray_o, ray_d = constrain(ray_o), constrain(ray_d)
+        target = constrain(images[f, ii, jj])
+        tvec = times[f]
+        return _chunked_mse(params, ray_o, ray_d, target, tvec, k_render, advect)
+
+    def _chunked_mse(params, ray_o, ray_d, target, t, k_render, advect):
+        t = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (n_rays,))
+
+        def chunk_loss(params, ro, rd, tgt, tc, kr):
             out = kplane.render_rays(
-                params, meta, jnp.full((ro.shape[0],), t), ro, rd, key=kr,
+                params, meta, tc, ro, rd, key=kr,
                 training=True, white_bg=hp.white_bg, advect=advect,
             )
             return jnp.sum((out["rgb"] - tgt) ** 2)
 
         if n_chunks == 1:
-            sse = chunk_loss(params, ray_o, ray_d, target, k_render)
+            sse = chunk_loss(params, ray_o, ray_d, target, t, k_render)
         else:
             chunk_keys = jax.random.split(k_render, n_chunks)
 
             def body(acc, inp):
-                ro, rd, tgt, kr = inp
-                return acc + chunk_loss(params, ro, rd, tgt, kr), None
+                ro, rd, tgt, tc, kr = inp
+                return acc + chunk_loss(params, ro, rd, tgt, tc, kr), None
 
             sse, _ = jax.lax.scan(
                 body,
@@ -196,12 +221,14 @@ def make_train_step(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str, H: int, W: 
                     ray_o.reshape(n_chunks, ray_chunk, 3),
                     ray_d.reshape(n_chunks, ray_chunk, 3),
                     target.reshape(n_chunks, ray_chunk, 3),
+                    t.reshape(n_chunks, ray_chunk),
                     chunk_keys,
                 ),
             )
         return sse / (n_rays * 3)
 
-    def loss_fn(params, key, frame_idx, key_frame_idx, global_step, poses, images, times):
+    def loss_fn(params, key, frame_idx, key_frame_idx, global_step, poses, images,
+                times, pool_all, pool_key):
         keys = jax.random.split(key, 4)
         gs = global_step.astype(jnp.float32)
         reg_scale = lr_factor ** (gs + 1.0)
@@ -211,17 +238,27 @@ def make_train_step(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str, H: int, W: 
         rgb_loss_0 = jnp.zeros(())
 
         if mode in ("static_dynamic", "dynamic", "vel"):
-            rgb_loss_t = render_batch(
-                params, keys[0], poses[frame_idx], images[frame_idx], times[frame_idx]
-            )
+            if hp.multi_frame:
+                rgb_loss_t = render_batch_multi(
+                    params, keys[0], pool_all, poses, images, times
+                )
+            else:
+                rgb_loss_t = render_batch(
+                    params, keys[0], poses[frame_idx], images[frame_idx], times[frame_idx]
+                )
             loss = loss + rgb_loss_t
         if mode in ("static", "static_dynamic"):
             # keyframe batch: times are exact keyframes, so advection is a
             # statically-known no-op — skip the two velocity-MLP sweeps
-            rgb_loss_0 = render_batch(
-                params, keys[1], poses[key_frame_idx], images[key_frame_idx],
-                times[key_frame_idx], advect=False
-            )
+            if hp.multi_frame:
+                rgb_loss_0 = render_batch_multi(
+                    params, keys[1], pool_key, poses, images, times, advect=False
+                )
+            else:
+                rgb_loss_0 = render_batch(
+                    params, keys[1], poses[key_frame_idx], images[key_frame_idx],
+                    times[key_frame_idx], advect=False
+                )
             loss = loss + rgb_loss_0
 
         metrics = {"rgb_loss_t": rgb_loss_t, "rgb_loss_0": rgb_loss_0}
@@ -252,9 +289,10 @@ def make_train_step(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str, H: int, W: 
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, key, frame_idx, key_frame_idx, global_step,
-                   poses, images, times):
+                   poses, images, times, pool_all, pool_key):
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
-            params, key, frame_idx, key_frame_idx, global_step, poses, images, times
+            params, key, frame_idx, key_frame_idx, global_step, poses, images,
+            times, pool_all, pool_key
         )
         lr_tree = optim.make_lr_tree(params, hp.lr_grid, hp.lr_net)
         if mode == "vel":
@@ -351,6 +389,8 @@ class Trainer:
         metrics = {}
         t_start = time.time()
 
+        pool_all = jnp.arange(n_frames, dtype=jnp.int32)
+        pool_key = jnp.asarray(key_frames, dtype=jnp.int32)
         for it in range(self.global_step, iters):
             self.key, k_step = jax.random.split(self.key)
             frame_idx = self.rng.randint(n_frames)
@@ -359,6 +399,7 @@ class Trainer:
                 self.params, opt_state, k_step,
                 jnp.int32(frame_idx), jnp.int32(key_idx), jnp.int32(it),
                 self.poses_buf, self.images_buf, self.times_buf,
+                pool_all, pool_key,
             )
 
             if log_fn and (it % hp.print_every == 0 or it == iters - 1):
@@ -386,6 +427,7 @@ class Trainer:
                 kf_cur = self.keyframe_list.pop(0)
                 self.params, self.meta = kplane.upsample(self.params, self.meta, res_cur, kf_cur)
                 key_frames = self._keyframe_frames()
+                pool_key = jnp.asarray(key_frames, dtype=jnp.int32)
                 self._step_cache = {}
                 step_fn = self._get_step_fn(vel_pts)
                 # reference resets Adam state and (by default) the lr decay
