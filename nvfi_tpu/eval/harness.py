@@ -38,18 +38,22 @@ def render_split(
     savedir: str | None = None,
     chunk: int = 8192,
     mask_params=None,
+    alpha_grid: int = 200,
+    max_views: int = 0,
 ):
     """Render all views of a split; returns (preds (N,H,W,3), metrics dict)."""
     all_imgs, all_poses, all_times, counts, _, _, (H, W, focal) = dataset[:7]
     if update_alpha and alpha_state is None:
         alpha_state, _ = kplane.update_alpha_mask(
-            params, meta, tuple(min(g, 200) for g in meta.grid_size), transfer=transfer_vel
+            params, meta, tuple(min(g, alpha_grid) for g in meta.grid_size),
+            transfer=transfer_vel,
         )
     if savedir:
         os.makedirs(savedir, exist_ok=True)
 
+    n_views = counts[split] if not max_views else min(counts[split], max_views)
     preds = []
-    for idx in range(counts[split]):
+    for idx in range(n_views):
         cam = rays_mod.Camera(
             all_poses[split][idx], H, W, focal,
             near=meta.near_far[0], far=meta.near_far[1],
@@ -64,7 +68,7 @@ def render_split(
         if savedir:
             save_png(os.path.join(savedir, f"r_{idx:03d}.png"), out["rgb"])
     preds = np.stack(preds)
-    gts = np.asarray(all_imgs[split], dtype=np.float32)
+    gts = np.asarray(all_imgs[split][:n_views], dtype=np.float32)
     errors = metrics_mod.estim_error(preds, gts)
     if savedir:
         metrics_mod.save_error(errors, savedir)

@@ -692,39 +692,53 @@ def sample_alpha(alpha_state: dict, xyz_norm):
 
 
 def compute_dense_alpha(params, meta: KPlaneMeta, grid_size: tuple, transfer: bool = False,
-                        n_times: int = 60, time_chunk: int = 4):
+                        n_times: int = 60, chunk: int = 262144):
     """Max-over-time dense alpha grid (reference getDenseAlpha :460-499).
 
     Sweeps t over ``linspace(0, 59, 60)/60`` exactly as the reference, advecting
-    grid points to keyframe (or t=0 for transfer) before density eval.
+    grid points to keyframe (or t=0 for transfer) before density eval.  Grid
+    coordinates are passed as device arguments in fixed-size chunks (never
+    baked as jit constants — a 200^3 grid inlined into the HLO is ~100 MB).
     Returns (alpha (gx,gy,gz), dense_xyz (gx,gy,gz,3)).
     """
     gx, gy, gz = grid_size
     a = meta.aabb_np
-    lin = [jnp.linspace(0.0, 1.0, g) for g in (gx, gy, gz)]
-    mesh = jnp.stack(jnp.meshgrid(*lin, indexing="ij"), axis=-1)
-    dense_xyz = a[0] * (1 - mesh) + a[1] * mesh  # (gx,gy,gz,3)
+    lin = [np.linspace(0.0, 1.0, g, dtype=np.float32) for g in (gx, gy, gz)]
+    mesh = np.stack(np.meshgrid(*lin, indexing="ij"), axis=-1)
+    dense_xyz = a[0] * (1 - mesh) + a[1] * mesh  # (gx,gy,gz,3) host
     flat = dense_xyz.reshape(-1, 3)
-    xyz_norm = normalize_coord(meta, flat)
+    xyz_norm = normalize_coord(meta, flat).astype(np.float32)
+    total = flat.shape[0]
+    chunk = min(chunk, total)
 
     @jax.jit
-    def alpha_at(tval):
-        t = jnp.full((flat.shape[0], 1), tval, dtype=jnp.float32)
+    def alpha_chunk(params, xyz_c, tval):
+        t = jnp.full((xyz_c.shape[0], 1), tval, dtype=jnp.float32)
         if transfer:
             base = jnp.zeros_like(t)
         else:
             base = snap_to_keyframe(meta, t)
         n_steps = meta.max_adv_steps if transfer else 1
-        prev = integrate_pos(params, meta, xyz_norm, t, base, n_steps=n_steps)
+        prev = integrate_pos(params, meta, xyz_c, t, base, n_steps=n_steps)
         xyzt = jnp.concatenate([prev, normalize_time(meta, base)], axis=-1)
         feat = density_feature(params, meta, xyzt)
         sigma = feature2density(meta, feat, {"times": t[..., 0], "time_offset": (t - base)[..., 0]})
         return 1.0 - jnp.exp(-sigma * meta.step_size)
 
-    alpha = jnp.zeros((flat.shape[0],), jnp.float32)
+    pad = (-total) % chunk
+    padded = np.concatenate([xyz_norm, np.zeros((pad, 3), np.float32)]) if pad else xyz_norm
+    n_chunks = padded.shape[0] // chunk
+    chunks = [jnp.asarray(padded[i * chunk : (i + 1) * chunk]) for i in range(n_chunks)]
+
+    alpha = [jnp.zeros((chunk,), jnp.float32) for _ in range(n_chunks)]
     for i in range(n_times):
-        alpha = jnp.maximum(alpha, alpha_at(jnp.float32(i / n_times)))
-    return alpha.reshape(gx, gy, gz), dense_xyz
+        tval = jnp.float32(i / n_times)
+        for c in range(n_chunks):
+            alpha[c] = jnp.maximum(alpha[c], alpha_chunk(params, chunks[c], tval))
+    alpha = np.concatenate([np.asarray(x) for x in alpha])
+    if pad:
+        alpha = alpha[:-pad]
+    return jnp.asarray(alpha.reshape(gx, gy, gz)), jnp.asarray(dense_xyz)
 
 
 def update_alpha_mask(params, meta: KPlaneMeta, grid_size: tuple, transfer: bool = False):

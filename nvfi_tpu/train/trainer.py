@@ -460,7 +460,10 @@ class Trainer:
         self.alpha_state = (
             jax.tree.map(jnp.asarray, alpha_state) if alpha_state else None
         )
+        if opt_state is not None:
+            self.opt_state = jax.tree.map(jnp.asarray, opt_state)
         self.global_step = int(extra.get("global_step", 0))
         self.n_voxel_list = list(extra.get("n_voxel_list", []))
         self.keyframe_list = list(extra.get("keyframe_list", []))
+        self._step_cache = {}
         return opt_state

@@ -26,6 +26,8 @@ def main():
     parser.add_argument("--ckpt_segm", type=str, default="")
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--outdir", type=str, default="")
+    parser.add_argument("--alpha_grid", type=int, default=128)
+    parser.add_argument("--n_views", type=int, default=0, help="limit test views")
     args = parser.parse_args()
 
     import jax
@@ -80,9 +82,12 @@ def main():
     os.makedirs(outdir, exist_ok=True)
 
     alpha_state, _ = kplane.update_alpha_mask(
-        params, meta, tuple(min(g, 128) for g in meta.grid_size), transfer=True
+        params, meta, tuple(min(g, args.alpha_grid) for g in meta.grid_size),
+        transfer=True,
     )
 
+    n_views = min(len(poses), args.n_views) if args.n_views else len(poses)
+    poses, times, segms = poses[:n_views], times[:n_views], segms[:n_views]
     pred_masks = []
     for vid in range(len(poses)):
         cam = rays_mod.Camera(poses[vid], H, W, focal,

@@ -41,6 +41,8 @@ def main():
     parser.add_argument("--checkpoint2", type=int, default=-1)
     parser.add_argument("--full_res", action="store_true")
     parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--alpha_grid", type=int, default=200)
+    parser.add_argument("--n_views", type=int, default=0)
     args = parser.parse_args()
 
     from nvfi_tpu.config import load_config
@@ -85,6 +87,7 @@ def main():
         params, meta, dataset, "test",
         white_bg=bool(cfg.dataset.white_background),
         transfer_vel=True, savedir=savedir,
+        alpha_grid=args.alpha_grid, max_views=args.n_views,
     )
     print("[transfer]", errors)
 

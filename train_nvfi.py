@@ -117,11 +117,15 @@ def main():
 
     trainer = Trainer(cfg, dataset, mode=mode, logdir=logdir, mesh=mesh)
 
-    if args.checkpoint:
-        path = ckpt_mod.find_checkpoint(os.path.dirname(logdir), args.checkpoint)
+    if args.checkpoint or args.not_train:
+        # resume from a numbered checkpoint, or (for eval-only runs) the latest
+        base = os.path.dirname(logdir) if args.checkpoint and logdir.endswith("from_checkpoint") else logdir
+        path = ckpt_mod.find_checkpoint(base, args.checkpoint or -1)
         if path:
             trainer.restore(path)
             print(f"[ckpt] restored {path} at step {trainer.global_step}")
+        elif args.not_train:
+            print(f"[ckpt] WARNING: no checkpoint under {base}; evaluating fresh init")
 
     wandb = None
     if args.wandb:
