@@ -1,0 +1,149 @@
+"""Multi-scene parallel training: N scenes, one mesh slot each.
+
+The reference trains one scene per process per GPU; a TPU pod makes the whole
+benchmark suite one program: per-scene params/optimizer states are stacked on
+a leading scene axis, the single-scene train step is ``vmap``-ed over it, and
+the scene axis is sharded over the mesh — every chip trains its own scene(s)
+with zero cross-chip communication (scenes are independent).
+
+Constraint: scenes must share the SAME static structure (grid size, keyframe
+count, aabb, flags) since one jitted program serves all — true for the
+reference's InDoorObj suite, whose six scenes share every shape-affecting
+config value (config/InDoorObj/*.yaml differ only in dataset paths).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..fields import kplane
+from ..train import optim
+from ..train.trainer import TrainHP, make_train_step
+
+
+def stack_scenes(scene_params: list) -> dict:
+    """Stack per-scene param pytrees along a new leading scene axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *scene_params)
+
+
+def unstack_scenes(stacked, n_scenes: int) -> list:
+    return [jax.tree.map(lambda x: x[i], stacked) for i in range(n_scenes)]
+
+
+class MultiSceneTrainer:
+    """vmap-over-scenes wrapper around the single-scene train step."""
+
+    def __init__(self, cfg, datasets: list, mesh: Mesh | None = None,
+                 mode: str = "static_dynamic", seed: int = 0):
+        """Args:
+          cfg: one reference-schema config shared by all scenes (shapes must
+            match; per-scene content differs through ``datasets``).
+          datasets: list of loader 7-tuples, one per scene; all frames must
+            share (H, W, focal) and frame count.
+        """
+        self.cfg = cfg
+        self.hp = TrainHP.from_cfg(cfg)
+        self.mode = mode
+        self.mesh = mesh
+        self.n_scenes = len(datasets)
+
+        imgs0, poses0, times0, counts0, _, _, (H, W, focal) = datasets[0][:7]
+        self.H, self.W, self.focal = H, W, focal
+        split = "train"
+        self.n_frames = counts0[split]
+
+        aabb = np.stack(
+            [np.asarray(cfg.nvfi.bbox_x), np.asarray(cfg.nvfi.bbox_y),
+             np.asarray(cfg.nvfi.bbox_z)], axis=-1,
+        )
+        from ..train.trainer import n_to_reso
+
+        res0 = n_to_reso(int(cfg.nvfi.N_voxel_init), aabb)
+        near_far = (float(cfg.dataset.near), float(cfg.dataset.far))
+        self.meta = kplane.meta_from_cfg(cfg.nvfi, aabb, res0, near_far)
+
+        keys = jax.random.split(jax.random.PRNGKey(seed), self.n_scenes)
+        self.params = stack_scenes([kplane.init_params(k, self.meta) for k in keys])
+        self.opt_state = {
+            "m": jax.tree.map(jnp.zeros_like, self.params),
+            "v": jax.tree.map(jnp.zeros_like, self.params),
+            "step": jnp.zeros((self.n_scenes,), jnp.int32),
+        }
+
+        self.images = jnp.stack(
+            [jnp.asarray(np.asarray(d[0][split], np.float32)) for d in datasets]
+        )  # (S, F, H, W, 3)
+        self.poses = jnp.stack(
+            [jnp.asarray(np.stack([np.asarray(p, np.float32) for p in d[1][split]]))
+             for d in datasets]
+        )  # (S, F, 4, 4)
+        self.times = jnp.stack(
+            [jnp.asarray(np.asarray(d[2][split], np.float32)) for d in datasets]
+        )  # (S, F)
+
+        if mesh is not None:
+            scene_sharding = NamedSharding(mesh, P("data"))
+            self.params = jax.device_put(self.params, scene_sharding)
+            self.opt_state = jax.device_put(self.opt_state, scene_sharding)
+            self.images = jax.device_put(self.images, scene_sharding)
+            self.poses = jax.device_put(self.poses, scene_sharding)
+            self.times = jax.device_put(self.times, scene_sharding)
+
+        self.key = jax.random.PRNGKey(seed + 1)
+        self.rng = np.random.RandomState(seed)
+        self.global_step = 0
+        self._build_step()
+
+    def _build_step(self):
+        # single-scene step WITHOUT its own jit/donation — vmap wraps it
+        inner = make_train_step(
+            self.meta, self.hp, self.mode, self.H, self.W, self.focal, mesh=None
+        )
+        # make_train_step returns a jitted fn; vmap of jit is fine in jax
+        n_frames = self.n_frames
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state, keys, frame_idx, key_idx, global_step,
+                 poses, images, times, pool_all, pool_key):
+            return jax.vmap(
+                inner, in_axes=(0, 0, 0, 0, 0, None, 0, 0, 0, None, None)
+            )(params, opt_state, keys, frame_idx, key_idx, global_step,
+              poses, images, times, pool_all, pool_key)
+
+        self._step = step
+
+    def train(self, iters: int, key_frames=None, log_fn=None):
+        n = self.n_scenes
+        if key_frames is None:
+            delta = self.meta.time_scale_factor
+            t = np.asarray(self.times[0])
+            base = np.round(np.clip(t / delta, 0, self.meta.num_keyframes - 1)) * delta
+            key_frames = np.where(np.isclose(t, base))[0]
+            if not len(key_frames):
+                key_frames = np.arange(self.n_frames)
+        pool_all = jnp.arange(self.n_frames, dtype=jnp.int32)
+        pool_key = jnp.asarray(key_frames, dtype=jnp.int32)
+        metrics = {}
+        for it in range(self.global_step, iters):
+            self.key, k = jax.random.split(self.key)
+            keys = jax.random.split(k, n)
+            f_idx = jnp.asarray(self.rng.randint(self.n_frames, size=n), jnp.int32)
+            k_idx = jnp.asarray(
+                key_frames[self.rng.randint(len(key_frames), size=n)], jnp.int32
+            )
+            self.params, self.opt_state, metrics = self._step(
+                self.params, self.opt_state, keys, f_idx, k_idx, jnp.int32(it),
+                self.poses, self.images, self.times, pool_all, pool_key,
+            )
+            if log_fn and it % self.hp.print_every == 0:
+                log_fn({k2: np.asarray(v) for k2, v in metrics.items()} | {"it": it})
+            self.global_step = it + 1
+        return metrics
+
+    def scene_params(self, i: int):
+        return jax.tree.map(lambda x: x[i], self.params)
