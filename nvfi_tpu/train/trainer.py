@@ -376,7 +376,8 @@ class Trainer:
         valid = np.where(np.isclose(t, base))[0]
         return valid if len(valid) else np.arange(len(t))
 
-    def train(self, iters: int | None = None, log_fn=None, vel_pts: int | None = None):
+    def train(self, iters: int | None = None, log_fn=None, vel_pts: int | None = None,
+              val_fn=None):
         """Run the full staged schedule for ``iters`` steps."""
         hp = self.hp
         iters = hp.train_iters if iters is None else iters
@@ -409,6 +410,11 @@ class Trainer:
                 m["it"] = it
                 m["elapsed"] = time.time() - t_start
                 log_fn(m)
+
+            # validation hook (reference train_nvfi.py:275-330 renders a val
+            # view every validate_every); callback gets (trainer, it)
+            if val_fn and hp.validate_every > 0 and it % hp.validate_every == 0 and it:
+                val_fn(self, it)
 
             # -- stage events (reference train_nvfi.py:332-357) ---------------
             if it in hp.update_alphamask_list and self.mode in ("static", "static_dynamic"):

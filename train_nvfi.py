@@ -53,6 +53,8 @@ def main():
     parser.add_argument("--checkpoint", type=int, default=0)
     parser.add_argument("--not_train", action="store_true")
     parser.add_argument("--wandb", action="store_true")
+    parser.add_argument("--validate", action="store_true",
+                        help="render a val view every validate_every iters")
     parser.add_argument("--eval_val", action="store_true")
     parser.add_argument("--eval_test", action="store_true")
     parser.add_argument("--full_res", action="store_true")
@@ -156,7 +158,29 @@ def main():
             if wandb:
                 wandb.log(m, step=m["it"])
 
-        trainer.train(iters=iters, log_fn=log)
+        val_fn = None
+        if args.validate and dataset[3].get("val"):
+            from nvfi_tpu.render import rays as rays_mod
+            from nvfi_tpu.render.renderer import render_image
+            from nvfi_tpu.eval.metrics import psnr as psnr_fn
+
+            def val_fn(tr, it):
+                H, W, focal = dataset[6]
+                idx = it // max(cfg.experiment.validate_every, 1) % dataset[3]["val"]
+                cam = rays_mod.Camera(dataset[1]["val"][idx], H, W, focal,
+                                      near=tr.meta.near_far[0], far=tr.meta.near_far[1])
+                out = render_image(
+                    tr.params, tr.meta, float(dataset[2]["val"][idx]),
+                    cam.rays_o.reshape(H, W, 3), cam.rays_d.reshape(H, W, 3),
+                    white_bg=bool(cfg.dataset.white_background),
+                )
+                p = psnr_fn(out["rgb"], dataset[0]["val"][idx])
+                print(f"[val] it={it} view={idx} psnr={p:.2f}", flush=True)
+                from nvfi_tpu.eval.harness import save_png
+
+                save_png(os.path.join(logdir, f"val_{it:06d}.png"), out["rgb"])
+
+        trainer.train(iters=iters, log_fn=log, val_fn=val_fn)
         metrics_f.close()
         trainer.save(os.path.join(logdir, f"model_{trainer.global_step - 1:05d}"))
 
