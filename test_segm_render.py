@@ -28,6 +28,8 @@ def main():
     parser.add_argument("--outdir", type=str, default="")
     parser.add_argument("--alpha_grid", type=int, default=128)
     parser.add_argument("--n_views", type=int, default=0, help="limit test views")
+    parser.add_argument("--scene_dir", type=str, default="",
+                        help="override the NVFi checkpoint directory")
     args = parser.parse_args()
 
     import jax
@@ -42,7 +44,7 @@ def main():
     from nvfi_tpu.fields import kplane
 
     cfg = load_config(args.config)
-    scene_logdir = os.path.join(
+    scene_logdir = args.scene_dir or os.path.join(
         str(cfg.experiment.logdir), str(cfg.wandb.project), str(cfg.wandb.name)
     )
     path = ckpt_mod.find_checkpoint(scene_logdir, args.checkpoint)

@@ -22,6 +22,8 @@ def main():
     parser.add_argument("--iters", type=int, default=0)
     parser.add_argument("--logdir", type=str, default="")
     parser.add_argument("--point_budget", type=int, default=8192)
+    parser.add_argument("--scene_dir", type=str, default="",
+                        help="override the NVFi checkpoint directory")
     args = parser.parse_args()
 
     from nvfi_tpu.config import load_config
@@ -29,7 +31,7 @@ def main():
     from nvfi_tpu.train.segm import SegmTrainer
 
     cfg = load_config(args.config)
-    scene_logdir = os.path.join(
+    scene_logdir = args.scene_dir or os.path.join(
         str(cfg.experiment.logdir), str(cfg.wandb.project), str(cfg.wandb.name)
     )
     path = ckpt_mod.find_checkpoint(scene_logdir, args.checkpoint)
