@@ -25,6 +25,36 @@ def save_png(path: str, img: np.ndarray):
     Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(path)
 
 
+def save_gif_time_sweep(
+    params, meta: kplane.KPlaneMeta, dataset, path: str, *, white_bg: bool,
+    n_frames: int = 16, view: int = 0, max_res: int = 128, chunk: int = 8192,
+):
+    """Render a fixed val/test pose swept over t in [0, 1] and save a GIF
+    (the reference's wandb video panel, train_nvfi.py:311-324).
+
+    Returns the (T, H, W, 3) frame stack.
+    """
+    import imageio
+
+    _, all_poses, _, counts, _, _, (H, W, focal) = dataset[:7]
+    split = "val" if counts.get("val") else "test"
+    stride = max(1, int(np.ceil(max(H, W) / max_res)))
+    Hs, Ws, fs = H // stride, W // stride, focal / stride
+    cam = rays_mod.Camera(all_poses[split][view], Hs, Ws, fs,
+                          near=meta.near_far[0], far=meta.near_far[1])
+    frames = []
+    for t in np.linspace(0.0, 1.0, n_frames):
+        out = render_image(
+            params, meta, float(t),
+            cam.rays_o.reshape(Hs, Ws, 3), cam.rays_d.reshape(Hs, Ws, 3),
+            white_bg=white_bg, chunk=chunk,
+        )
+        frames.append(out["rgb"])
+    frames = np.stack(frames)
+    imageio.mimsave(path, (np.clip(frames, 0, 1) * 255).astype(np.uint8), loop=0)
+    return frames
+
+
 def render_split(
     params,
     meta: kplane.KPlaneMeta,
@@ -67,6 +97,12 @@ def render_split(
         preds.append(out["rgb"])
         if savedir:
             save_png(os.path.join(savedir, f"r_{idx:03d}.png"), out["rgb"])
+            # depth panel (reference saves/wandb-logs depth maps alongside
+            # rgb, train_nvfi.py:311-324); near/far-normalized jet colormap
+            from ..utils.viz import visualize_depth
+
+            save_png(os.path.join(savedir, f"r_{idx:03d}_depth.png"),
+                     visualize_depth(out["depth"], minmax=meta.near_far)[0])
     preds = np.stack(preds)
     gts = np.asarray(all_imgs[split][:n_views], dtype=np.float32)
     errors = metrics_mod.estim_error(preds, gts)

@@ -73,6 +73,12 @@ _LPIPS_MODEL = None
 
 
 def lpips_available() -> bool:
+    """True when either the vendored JAX LPIPS has calibrated weights (see
+    eval/lpips.py) or the torch ``lpips`` package is importable."""
+    from . import lpips as jlpips
+
+    if jlpips.available():
+        return True
     try:
         import lpips  # noqa: F401
         import torch  # noqa: F401
@@ -83,7 +89,15 @@ def lpips_available() -> bool:
 
 
 def lpips(pred: np.ndarray, gt: np.ndarray) -> float:
-    """VGG-LPIPS on a single (H, W, 3) pair in [0,1]; requires torch+lpips."""
+    """VGG-LPIPS on a single (H, W, 3) pair in [0,1].
+
+    Prefers the vendored JAX implementation with calibrated weights
+    (NVFI_LPIPS_WEIGHTS / assets/lpips_vgg.npz); falls back to the torch
+    ``lpips`` package when installed (used as an oracle in tests)."""
+    from . import lpips as jlpips
+
+    if jlpips.available():
+        return jlpips.lpips(pred, gt)
     global _LPIPS_MODEL
     import torch
     import lpips as lpips_pkg

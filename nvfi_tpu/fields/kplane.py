@@ -95,6 +95,16 @@ class KPlaneMeta:
     # rayMarch_weight_thres=1e-4 far fewer than 25% of samples pass the mask,
     # so the selection reproduces the reference's app_mask compaction exactly
     # while skipping ~75% of appearance gathers + shader FLOPs.
+    block_budget: float = 1.0  # block-sparse sample axis: the sample axis is
+    # tiled into 64-sample blocks and only blocks containing in-box (and,
+    # when an alpha mask is active, occupied) samples are advected/gathered,
+    # under a static budget of block_budget * total blocks.  Skipped blocks
+    # contribute exactly zero (their samples are invalid => sigma 0), so with
+    # zero dropped active blocks the math is identical to the dense path —
+    # renders report 'dropped_blocks' to verify.  >=1.0 disables (dense,
+    # bit-exact parity path).  The reference pays these samples too (it
+    # compacts with boolean indexing, tensorf_base.py:310-314 + :705); this
+    # is the fixed-shape TPU equivalent at block granularity.
 
     # -- derived quantities (host-side python, baked into jit) --------------
     @property
@@ -148,10 +158,15 @@ def meta_from_cfg(nvfi_cfg, aabb, grid_size, near_far) -> KPlaneMeta:
         gate = VelGate("sur", bounds=(tuple(bounds[0].tolist()), tuple(bounds[1].tolist())))
     else:
         gate = VelGate("aabb", float(nvfi_cfg.get("eps", 0.03)))
+    # lenient float: the reference ships a bitrotted value "0.75 4" in
+    # config/InDoorSeg/darkroom.yaml:141 (a stray token after an edit) that
+    # YAML parses as a string; take the first token like the author intended
+    tmax_raw = nvfi_cfg.tmax
+    tmax = float(str(tmax_raw).split()[0]) if isinstance(tmax_raw, str) else float(tmax_raw)
     return KPlaneMeta(
         grid_size=tuple(int(g) for g in grid_size),
         num_keyframes=int(nvfi_cfg.num_keyframes),
-        tmax=float(nvfi_cfg.tmax),
+        tmax=tmax,
         aabb=tuple(tuple(float(v) for v in row) for row in np.asarray(aabb)),
         near_far=tuple(float(v) for v in near_far),
         density_n_comp=int(nvfi_cfg.density_n_comp[0]),
@@ -176,6 +191,7 @@ def meta_from_cfg(nvfi_cfg, aabb, grid_size, near_far) -> KPlaneMeta:
         ray_sampling=(
             "contracted" if nvfi_cfg.get("contract_ray", False) else "box"
         ),
+        block_budget=float(nvfi_cfg.get("block_budget", 1.0)),
     )
 
 
@@ -237,19 +253,29 @@ def init_params(key, meta: KPlaneMeta) -> dict:
 # ---------------------------------------------------------------------------
 
 def cast_compute(params, meta: KPlaneMeta):
-    """Cast f32 param leaves to the compute dtype (no-op for f32 meta).
+    """Cast f32 MLP/decoder leaves to the compute dtype (no-op for f32 meta).
 
     Gradients flow through the cast, so the optimizer still sees f32 master
     weights — the standard bf16-compute / f32-state mixed-precision recipe
     (the TPU analogue of the reference's CUDA AMP + GradScaler,
-    train_nvfi.py:96,242-245; bf16 needs no loss scaling)."""
+    train_nvfi.py:96,242-245; bf16 needs no loss scaling).
+
+    The PLANES are deliberately left f32: TPU gather cost is per-index (f32
+    rows read as fast as bf16) and the gather-VJP scatter-add is faster in f32
+    (scripts/perf_micro2.py), so grid_sample downcasts the gathered rows
+    instead (grid_sample_2d_block compute_dtype)."""
     if meta.compute_dtype == "float32":
         return params
     dt = jnp.dtype(meta.compute_dtype)
-    return jax.tree.map(
-        lambda x: x.astype(dt) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
-        params,
-    )
+    out = dict(params)
+    for k, v in params.items():
+        if k in ("planes_space", "planes_time"):
+            continue
+        out[k] = jax.tree.map(
+            lambda x: x.astype(dt) if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            v,
+        )
+    return out
 
 
 def normalize_coord(meta: KPlaneMeta, xyz):
@@ -283,30 +309,41 @@ def snap_to_keyframe(meta: KPlaneMeta, t):
 # Feature evaluation
 # ---------------------------------------------------------------------------
 
-def _plane_product(planes_space, planes_time, xyzt):
+def _plane_product(planes_space, planes_time, xyzt, compute_dtype=None):
     """Product of 3 space-plane and 3 time-plane bilinear samples.
 
     xyzt: (..., 4) with spatial dims normalized to [-1,1] and time already
-    through normalize_time.  Returns (..., C) over the merged channel stack.
+    through normalize_time.  Returns (..., C) over the merged channel stack
+    (in ``compute_dtype`` when given — the tent weighting and the five
+    cross-plane products run at reduced precision, mirroring the reference's
+    AMP fp16 autocast around this exact chain, train_nvfi.py:144).
     """
     feat_space = None
     feat_time = None
     for i in range(3):
         m0, m1 = MAT_SPACE[i]
         c_space = jnp.stack([xyzt[..., m0], xyzt[..., m1]], axis=-1)
-        s = grid_sample_2d(planes_space[i], c_space)
+        s = grid_sample_2d(planes_space[i], c_space, compute_dtype)
         feat_space = s if feat_space is None else feat_space * s
         mt0, mt1 = MAT_TIME[i]
         c_time = jnp.stack([xyzt[..., mt0], xyzt[..., mt1]], axis=-1)
-        tfeat = grid_sample_2d(planes_time[i], c_time)
+        tfeat = grid_sample_2d(planes_time[i], c_time, compute_dtype)
         feat_time = tfeat if feat_time is None else feat_time * tfeat
     return feat_space * feat_time
 
 
+def _compute_dtype(meta: KPlaneMeta):
+    return None if meta.compute_dtype == "float32" else meta.compute_dtype
+
+
 def _decode_density(params, meta: KPlaneMeta, fused_d):
     if meta.density_mode != "Density":
-        return fused_d @ params["basis_mat_density"]["w"]
-    return jnp.sum(fused_d, axis=-1, keepdims=True)
+        return jnp.dot(
+            fused_d, params["basis_mat_density"]["w"],
+            preferred_element_type=jnp.float32,
+        )
+    # accumulate the channel sum in f32 even when the product chain ran bf16
+    return jnp.sum(fused_d, axis=-1, keepdims=True, dtype=jnp.float32)
 
 
 def field_features(params, meta: KPlaneMeta, xyzt):
@@ -317,10 +354,11 @@ def field_features(params, meta: KPlaneMeta, xyzt):
     compute_appfeature (tensorf_keyframe.py:233-310); the channel merge is
     exact because the cross-plane product is elementwise per channel.
     """
-    fused = _plane_product(params["planes_space"], params["planes_time"], xyzt)
+    fused = _plane_product(params["planes_space"], params["planes_time"], xyzt,
+                           _compute_dtype(meta))
     cd = meta.density_n_comp
     density = _decode_density(params, meta, fused[..., :cd])
-    app = fused[..., cd:] @ params["basis_mat"]["w"]
+    app = fused[..., cd:] @ params["basis_mat"]["w"].astype(fused.dtype)
     return density, app
 
 
@@ -335,6 +373,7 @@ def density_feature(params, meta: KPlaneMeta, xyzt):
         [p[..., :cd] for p in params["planes_space"]],
         [p[..., :cd] for p in params["planes_time"]],
         xyzt,
+        _compute_dtype(meta),
     )
     return _decode_density(params, meta, fused)
 
@@ -346,8 +385,9 @@ def app_feature(params, meta: KPlaneMeta, xyzt):
         [p[..., cd:] for p in params["planes_space"]],
         [p[..., cd:] for p in params["planes_time"]],
         xyzt,
+        _compute_dtype(meta),
     )
-    return fused @ params["basis_mat"]["w"]
+    return fused @ params["basis_mat"]["w"].astype(fused.dtype)
 
 
 def feature2density(meta: KPlaneMeta, density_features, aux=None):
@@ -524,6 +564,14 @@ def render_rays(
     """
     if n_samples is None:
         n_samples = meta.n_samples
+    SB = 64  # sample-block size for the block-sparse sample axis
+    sparse = 0.0 < meta.block_budget < 1.0
+    orig_n_samples = n_samples
+    if sparse:
+        # round the sample axis up to whole blocks; the padded samples are
+        # forced invalid below (and the original last sample keeps its zero
+        # dist) so the result is identical to the unpadded dense path
+        n_samples = -(-n_samples // SB) * SB
     N = rays_o.shape[0]
     k_strat, k_bg = (jax.random.split(key) if key is not None else (None, None))
 
@@ -536,6 +584,10 @@ def render_rays(
     dists = jnp.concatenate(
         [z_vals[:, 1:] - z_vals[:, :-1], jnp.zeros_like(z_vals[:, :1])], axis=-1
     )
+    if sparse and n_samples != orig_n_samples:
+        s_idx = jnp.arange(n_samples)
+        valid = valid & (s_idx < orig_n_samples)[None, :]
+        dists = dists * (s_idx < orig_n_samples - 1)[None, :].astype(dists.dtype)
     if meta.ray_sampling in ("ndc", "contracted"):
         # reference scales dists by |d| and normalizes view directions
         # (tensorf_keyframe.py:617-629)
@@ -590,7 +642,36 @@ def render_rays(
         return sigma.astype(jnp.float32), xyz_eval.astype(jnp.float32)
 
     density_pass = jax.checkpoint(density_pass)
-    sigma, xyz_eval = density_pass(cp, xyz, t, base_times)
+    dropped = jnp.zeros(())
+    if sparse:
+        # select in-box (and, with an alpha mask, occupied) 64-sample blocks
+        # under a static budget; skipped blocks are all-invalid => exactly 0.
+        nb = n_samples // SB
+        total_b = N * nb
+        active = valid.reshape(N * nb, SB).any(-1)
+        B = min(total_b, max(8, (int(meta.block_budget * total_b) + 7) // 8 * 8))
+        score = active.astype(jnp.float32)
+        _, sel = jax.lax.top_k(score, B)
+        sel = jax.lax.stop_gradient(sel)
+        dropped = jnp.maximum(jnp.sum(score) - B, 0.0)
+
+        def pick(x):
+            c = x.shape[-1] if x.ndim == 3 else 1
+            return x.reshape(N * nb, SB * c)[sel].reshape(B * SB, c)
+
+        sigma_b, xyz_eval_b = density_pass(cp, pick(xyz), pick(t), pick(base_times))
+        sigma = (
+            jnp.zeros((N * nb, SB), jnp.float32)
+            .at[sel].set(sigma_b.reshape(B, SB))
+            .reshape(N, n_samples)
+        )
+        xyz_eval = (
+            jnp.zeros((N * nb, SB * 3), jnp.float32)
+            .at[sel].set(xyz_eval_b.reshape(B, SB * 3))
+            .reshape(N, n_samples, 3)
+        )
+    else:
+        sigma, xyz_eval = density_pass(cp, xyz, t, base_times)
     sigma = jnp.where(valid, sigma, 0.0)
 
     alpha, weight, bg_w = raw2alpha(sigma, dists * meta.distance_scale)
@@ -599,12 +680,16 @@ def render_rays(
 
     S = n_samples
     total = N * S
+    # the shade budget is based on the ORIGINAL sample count so block-sparse
+    # padding doesn't change which samples the top-K truncates — keeps the
+    # sparse path bit-identical to the dense one
+    total_real = N * orig_n_samples
     frac = meta.shade_fraction
-    use_topk = 0.0 < frac < 1.0 and total > 512
+    use_topk = 0.0 < frac < 1.0 and total_real > 512
     shader = make_shader(meta.shading_mode, meta.view_pe, meta.pos_pe, meta.fea_pe)
 
     if use_topk:
-        K = min(total, max(128, (int(total * frac) + 127) // 128 * 128))
+        K = min(total, max(128, (int(total_real * frac) + 127) // 128 * 128))
         score = jnp.where(app_mask, weight, 0.0).reshape(-1)
         sel = jax.lax.stop_gradient(
             jnp.argsort(-score)[:K]
@@ -676,6 +761,9 @@ def render_rays(
         "weight": weight,
         "mask": mask_map,
         "z_vals": z_vals,
+        # active sample-blocks that exceeded the block_budget (0 when dense
+        # or when the budget covered every active block — i.e. exact math)
+        "dropped_blocks": dropped,
     }
 
 

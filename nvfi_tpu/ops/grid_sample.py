@@ -76,7 +76,8 @@ def make_quad_plane(plane: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def grid_sample_2d_block(plane: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+def grid_sample_2d_block(plane: jnp.ndarray, coords: jnp.ndarray,
+                         compute_dtype=None) -> jnp.ndarray:
     """Bilinear plane sampling with ONE flat row-gather per point.
 
     Numerically identical to :func:`grid_sample_2d` (torch align_corners=True,
@@ -88,7 +89,14 @@ def grid_sample_2d_block(plane: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray
     which reproduces the interior bilinear weights, the boundary cases, and
     the zero contribution of out-of-range corners in one formula.
 
-    Args / returns: identical to grid_sample_2d.
+    ``compute_dtype``: dtype of the tent-weighted interpolation arithmetic and
+    the output.  TPU measurement (scripts/perf_micro2.py): gather cost is
+    per-index, so reading f32 planes costs the same as bf16 — and the VJP's
+    scatter-add is *faster* in f32 — so mixed precision keeps the plane (and
+    its gradient) in f32 and downcasts the gathered rows only.  This mirrors
+    the reference's AMP autocast around F.grid_sample (train_nvfi.py:144).
+
+    Args / returns: identical to grid_sample_2d (output in compute_dtype).
     """
     H, W, C = plane.shape
     quad = make_quad_plane(plane).reshape((H - 1) * (W - 1), 4 * C)
@@ -110,12 +118,13 @@ def grid_sample_2d_block(plane: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray
     wy0 = jnp.clip(1.0 - jnp.abs(yf - y0f), 0.0, 1.0)
     wy1 = jnp.clip(1.0 - jnp.abs(yf - (y0f + 1.0)), 0.0, 1.0)
 
-    r = rows.astype(wx0.dtype)
+    cd = jnp.dtype(compute_dtype) if compute_dtype is not None else wx0.dtype
+    r = rows.astype(cd)
     out = (
-        r[:, 0 * C : 1 * C] * (wy0 * wx0)[:, None]
-        + r[:, 1 * C : 2 * C] * (wy0 * wx1)[:, None]
-        + r[:, 2 * C : 3 * C] * (wy1 * wx0)[:, None]
-        + r[:, 3 * C : 4 * C] * (wy1 * wx1)[:, None]
+        r[:, 0 * C : 1 * C] * (wy0 * wx0).astype(cd)[:, None]
+        + r[:, 1 * C : 2 * C] * (wy0 * wx1).astype(cd)[:, None]
+        + r[:, 2 * C : 3 * C] * (wy1 * wx0).astype(cd)[:, None]
+        + r[:, 3 * C : 4 * C] * (wy1 * wx1).astype(cd)[:, None]
     )
     return out.reshape(*batch_shape, C)
 

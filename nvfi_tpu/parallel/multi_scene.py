@@ -109,11 +109,12 @@ class MultiSceneTrainer:
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def step(params, opt_state, keys, frame_idx, key_idx, global_step,
-                 poses, images, times, pool_all, pool_key):
+                 poses, images, times, pool_all, pool_key, l1_base, l1_step0):
             return jax.vmap(
-                inner, in_axes=(0, 0, 0, 0, 0, None, 0, 0, 0, None, None)
+                inner,
+                in_axes=(0, 0, 0, 0, 0, None, 0, 0, 0, None, None, None, None),
             )(params, opt_state, keys, frame_idx, key_idx, global_step,
-              poses, images, times, pool_all, pool_key)
+              poses, images, times, pool_all, pool_key, l1_base, l1_step0)
 
         self._step = step
 
@@ -139,6 +140,7 @@ class MultiSceneTrainer:
             self.params, self.opt_state, metrics = self._step(
                 self.params, self.opt_state, keys, f_idx, k_idx, jnp.int32(it),
                 self.poses, self.images, self.times, pool_all, pool_key,
+                jnp.float32(self.hp.L1_weight_initial), jnp.float32(0.0),
             )
             if log_fn and it % self.hp.print_every == 0:
                 log_fn({k2: np.asarray(v) for k2, v in metrics.items()} | {"it": it})

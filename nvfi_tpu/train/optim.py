@@ -21,14 +21,17 @@ B1, B2 = 0.9, 0.99
 EPS = 1e-8
 
 
-def make_lr_tree(params: dict, lr_grid: float, lr_net: float) -> dict:
-    """Reference param grouping: planes at lr_grid, everything else at lr_net
-    (velocity also gets lr_net — reference tensorf_keyframe.py:548-549)."""
+def make_lr_tree(params: dict, lr_grid: float, lr_net: float, lr_vel=None) -> dict:
+    """Reference param grouping: planes at lr_grid, velocity at lr_vel,
+    everything else at lr_net (reference tensorf_keyframe.py:539-550 +
+    train_nvfi.py:90-94: get_optparam_groups(lr_grid, lr_net, lr_vel))."""
     grid_keys = {"planes_space", "planes_time",
                  "density_plane", "density_line", "app_plane", "app_line"}
+    if lr_vel is None:
+        lr_vel = lr_net
 
     def assign(path_key, subtree):
-        lr = lr_grid if path_key in grid_keys else lr_net
+        lr = lr_grid if path_key in grid_keys else (lr_vel if path_key == "vel" else lr_net)
         return jax.tree.map(lambda _: lr, subtree)
 
     return {k: assign(k, v) for k, v in params.items()}

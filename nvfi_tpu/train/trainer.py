@@ -58,6 +58,7 @@ class TrainHP:
 
     lr_grid: float = 0.02
     lr_net: float = 1e-3
+    lr_vel: float = 1e-3
     lr_decay_target_ratio: float = 0.1
     lr_decay_iters: int = -1
     lr_upsample_reset: bool = True
@@ -97,14 +98,17 @@ class TrainHP:
         return cls(
             lr_grid=float(e.lr_grid),
             lr_net=float(e.lr_net),
+            lr_vel=float(e.get("lr_vel", e.lr_net)),
             lr_decay_target_ratio=float(e.lr_decay_target_ratio),
             lr_decay_iters=int(e.lr_decay_iters),
             lr_upsample_reset=bool(e.lr_upsample_reset),
             train_iters=int(e.train_iters),
             n_rays=int(cfg.renderer.n_rays),
             point_batch=int(cfg.renderer.get("batch_size", 131072)),
-            L1_weight_initial=float(e.L1_weight_inital),  # [sic] reference spelling
-            L1_weight_reset=float(e.L1_weight_reset),
+            # [sic] reference spelling; factory.yaml omits the key entirely
+            # (the reference crashes on it, train_nvfi.py:129) -> default 0
+            L1_weight_initial=float(e.get("L1_weight_inital", 0.0)),
+            L1_weight_reset=float(e.get("L1_weight_reset", 0.0)),
             TV_weight_density=float(e.TV_weight_density),
             TV_weight_app=float(e.TV_weight_app),
             vel_reg_weight=float(e.vel_reg_weight),
@@ -121,6 +125,20 @@ class TrainHP:
             print_every=int(e.print_every),
             validate_every=int(e.validate_every),
         )
+
+
+def decay_scales(lr_factor: float, upsample_reset: bool, opt_step, global_step):
+    """Learning-rate decay positions (reference train_nvfi.py:248-249,344-352).
+
+    Returns (grid/net scale, velocity scale).  With ``lr_upsample_reset`` the
+    grid/net groups restart their exponential decay at each stage (``opt_step``
+    counts from the stage start, and the optimizer is rebuilt there); without
+    it they follow the global decay.  The velocity group ALWAYS follows the
+    global decay — the reference rebuilds its group at
+    ``lr_vel * target_ratio^(epoch/train_iters)`` regardless of the flag.
+    """
+    base = lr_factor ** (opt_step if upsample_reset else global_step)
+    return base, lr_factor ** global_step
 
 
 def _rays_from_pose(pose, H, W, focal, ii, jj):
@@ -203,20 +221,21 @@ def make_train_step(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str, H: int, W: 
                 params, meta, tc, ro, rd, key=kr,
                 training=True, white_bg=hp.white_bg, advect=advect,
             )
-            return jnp.sum((out["rgb"] - tgt) ** 2)
+            return jnp.sum((out["rgb"] - tgt) ** 2), out["dropped_blocks"]
 
         if n_chunks == 1:
-            sse = chunk_loss(params, ray_o, ray_d, target, t, k_render)
+            sse, dropped = chunk_loss(params, ray_o, ray_d, target, t, k_render)
         else:
             chunk_keys = jax.random.split(k_render, n_chunks)
 
             def body(acc, inp):
                 ro, rd, tgt, tc, kr = inp
-                return acc + chunk_loss(params, ro, rd, tgt, tc, kr), None
+                s, d = chunk_loss(params, ro, rd, tgt, tc, kr)
+                return (acc[0] + s, acc[1] + d), None
 
-            sse, _ = jax.lax.scan(
+            (sse, dropped), _ = jax.lax.scan(
                 body,
-                jnp.zeros(()),
+                (jnp.zeros(()), jnp.zeros(())),
                 (
                     ray_o.reshape(n_chunks, ray_chunk, 3),
                     ray_d.reshape(n_chunks, ray_chunk, 3),
@@ -225,10 +244,10 @@ def make_train_step(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str, H: int, W: 
                     chunk_keys,
                 ),
             )
-        return sse / (n_rays * 3)
+        return sse / (n_rays * 3), dropped
 
     def loss_fn(params, key, frame_idx, key_frame_idx, global_step, poses, images,
-                times, pool_all, pool_key):
+                times, pool_all, pool_key, l1_base, l1_step0):
         keys = jax.random.split(key, 4)
         gs = global_step.astype(jnp.float32)
         reg_scale = lr_factor ** (gs + 1.0)
@@ -236,38 +255,52 @@ def make_train_step(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str, H: int, W: 
         loss = 0.0
         rgb_loss_t = jnp.zeros(())
         rgb_loss_0 = jnp.zeros(())
+        dropped = jnp.zeros(())
 
         if mode in ("static_dynamic", "dynamic", "vel"):
             if hp.multi_frame:
-                rgb_loss_t = render_batch_multi(
+                rgb_loss_t, d = render_batch_multi(
                     params, keys[0], pool_all, poses, images, times
                 )
             else:
-                rgb_loss_t = render_batch(
+                rgb_loss_t, d = render_batch(
                     params, keys[0], poses[frame_idx], images[frame_idx], times[frame_idx]
                 )
             loss = loss + rgb_loss_t
+            dropped = dropped + d
         if mode in ("static", "static_dynamic"):
             # keyframe batch: times are exact keyframes, so advection is a
             # statically-known no-op — skip the two velocity-MLP sweeps
             if hp.multi_frame:
-                rgb_loss_0 = render_batch_multi(
+                rgb_loss_0, d = render_batch_multi(
                     params, keys[1], pool_key, poses, images, times, advect=False
                 )
             else:
-                rgb_loss_0 = render_batch(
+                rgb_loss_0, d = render_batch(
                     params, keys[1], poses[key_frame_idx], images[key_frame_idx],
                     times[key_frame_idx], advect=False
                 )
             loss = loss + rgb_loss_0
+            dropped = dropped + d
 
         metrics = {"rgb_loss_t": rgb_loss_t, "rgb_loss_0": rgb_loss_0}
+        if 0.0 < meta.block_budget < 1.0:
+            # active sample-blocks clipped by the budget this step (must stay
+            # 0 for the run to be math-identical to the dense path)
+            metrics["dropped_blocks"] = jax.lax.stop_gradient(dropped)
 
         if mode in ("static", "static_dynamic"):
-            if hp.L1_weight_initial > 0:
-                # weight decays per-iter like the lr (reference :211)
+            if hp.L1_weight_initial > 0 or (
+                hp.L1_weight_reset > 0 and hp.update_alphamask_list
+            ):
+                # weight decays per-iter like the lr (reference :211) and is
+                # replaced by L1_weight_reset at the first alpha-mask update
+                # (reference train_nvfi.py:338-340): effective weight
+                # l1_base * lr_factor^(gs + 1 - l1_step0), with (l1_base,
+                # l1_step0) switched by the Trainer at the stage event.
                 l1 = kplane.density_l1(params, meta)
-                loss = loss + hp.L1_weight_initial * reg_scale * l1
+                l1_w = l1_base * lr_factor ** (gs + 1.0 - l1_step0)
+                loss = loss + l1_w * l1
                 metrics["l1"] = l1
             if hp.TV_weight_density > 0:
                 tv_d = kplane.tv_loss_density(params, meta)
@@ -289,17 +322,26 @@ def make_train_step(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str, H: int, W: 
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, key, frame_idx, key_frame_idx, global_step,
-                   poses, images, times, pool_all, pool_key):
+                   poses, images, times, pool_all, pool_key, l1_base, l1_step0):
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
             params, key, frame_idx, key_frame_idx, global_step, poses, images,
-            times, pool_all, pool_key
+            times, pool_all, pool_key, l1_base, l1_step0
         )
-        lr_tree = optim.make_lr_tree(params, hp.lr_grid, hp.lr_net)
+        lr_tree = optim.make_lr_tree(params, hp.lr_grid, hp.lr_net, hp.lr_vel)
         if mode == "vel":
             # velocity-only: zero the lr of everything except the velocity net
             lr_tree = {k: jax.tree.map(lambda _: 0.0, v) if k != "vel" else v
                        for k, v in lr_tree.items()}
-        lr_scale = lr_factor ** opt_state["step"].astype(jnp.float32)
+        lr_scale, vel_scale = decay_scales(
+            lr_factor, hp.lr_upsample_reset,
+            opt_state["step"].astype(jnp.float32),
+            global_step.astype(jnp.float32),
+        )
+        if "vel" in lr_tree:
+            lr_tree = dict(lr_tree)
+            lr_tree["vel"] = jax.tree.map(
+                lambda lr: lr * vel_scale / lr_scale, lr_tree["vel"]
+            )
         params, opt_state = optim.apply_updates(params, grads, opt_state, lr_tree, lr_scale)
         return params, opt_state, metrics
 
@@ -335,6 +377,10 @@ class Trainer:
         self.params = kplane.init_params(k_init, self.meta)
         self.alpha_state = None
         self.global_step = 0
+        # L1 weight state: (base, step0) — switched at the first alpha-mask
+        # event (reference train_nvfi.py:338-340)
+        self.l1_base = self.hp.L1_weight_initial
+        self.l1_step0 = 0
 
         # voxel & keyframe upsample schedules (reference train_nvfi.py:99-112)
         n_up = len(self.hp.upsamp_list)
@@ -401,6 +447,7 @@ class Trainer:
                 jnp.int32(frame_idx), jnp.int32(key_idx), jnp.int32(it),
                 self.poses_buf, self.images_buf, self.times_buf,
                 pool_all, pool_key,
+                jnp.float32(self.l1_base), jnp.float32(self.l1_step0),
             )
 
             if log_fn and (it % hp.print_every == 0 or it == iters - 1):
@@ -423,6 +470,11 @@ class Trainer:
                     self.params, self.meta, reso_mask
                 )
                 self.params, self.meta = kplane.shrink(self.params, self.meta, new_aabb)
+                if it == hp.update_alphamask_list[0]:
+                    # switch the L1 weight to its reset value; it continues
+                    # decaying from here (reference train_nvfi.py:338-340)
+                    self.l1_base = hp.L1_weight_reset
+                    self.l1_step0 = it + 1
                 self._step_cache = {}
                 step_fn = self._get_step_fn(vel_pts)
                 opt_state = optim.init_state(self.params)
@@ -456,6 +508,8 @@ class Trainer:
                 "n_voxel_list": self.n_voxel_list,
                 "keyframe_list": self.keyframe_list,
                 "mode": self.mode,
+                "l1_base": self.l1_base,
+                "l1_step0": self.l1_step0,
             },
         )
 
@@ -471,5 +525,7 @@ class Trainer:
         self.global_step = int(extra.get("global_step", 0))
         self.n_voxel_list = list(extra.get("n_voxel_list", []))
         self.keyframe_list = list(extra.get("keyframe_list", []))
+        self.l1_base = float(extra.get("l1_base", self.hp.L1_weight_initial))
+        self.l1_step0 = int(extra.get("l1_step0", 0))
         self._step_cache = {}
         return opt_state

@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Single-chip perf ablation: where does the train-step time go?
+
+Runs several jitted fwd+bwd variants of the bat-scale step in ONE process
+(remote compiles are expensive — batch experiments per process, CLAUDE.md)
+and prints a ms/call table:
+
+  T1 grad(sum acc)                density+advect+composite (shading DCE'd)
+  T2 grad(sum acc), advect=False  T1 minus the velocity-MLP RK2 sweeps
+  T3 grad(sum rgb)                full render batch (top-K shade, argsort)
+  T4 grad(sum rgb), dense shade   shade_fraction=1.0 (no argsort/scatter)
+  T5 PDE loss grad                262144 filter pts / 32768 jacobian budget
+  T3_16k                          T3 at 16384 rays (HBM spill probe)
+
+Usage: python scripts/perf_ablate.py  (TPU; keep it the only TPU process)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from dataclasses import replace
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+from nvfi_tpu.fields import kplane
+from nvfi_tpu.physics.pde import vel_pde_loss
+from nvfi_tpu.train.trainer import n_to_reso
+
+
+def make_meta(shade_fraction=0.25):
+    aabb = np.array([[-2.0, -2.0, -2.0], [2.0, 2.0, 2.0]])
+    grid = tuple(n_to_reso(8_000_000, aabb))
+    return kplane.KPlaneMeta(
+        grid_size=grid, num_keyframes=16, tmax=0.75,
+        aabb=((-2.0,) * 3, (2.0,) * 3), near_far=(2.0, 6.0),
+        density_n_comp=24, app_n_comp=48, app_dim=32,
+        density_shift=-10.0, distance_scale=25.0,
+        alpha_mask_thres=1e-4, raymarch_weight_thres=1e-4,
+        feature_c=128, max_n_samples=1024, use_vel=True,
+        compute_dtype="bfloat16", shade_fraction=shade_fraction,
+    )
+
+
+def make_rays(n, seed=0):
+    rng = np.random.RandomState(seed)
+    ro = np.tile(np.array([[0.0, 0.0, 4.5]], np.float32), (n, 1))
+    d = np.concatenate([rng.randn(n, 2) * 0.35, -np.ones((n, 1))], -1)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t = rng.rand(n).astype(np.float32) * 0.75
+    return jnp.asarray(ro), jnp.asarray(d.astype(np.float32)), jnp.asarray(t)
+
+
+def timed(name, fn, args, n=5):
+    t0 = time.time()
+    out = fn(*args)
+    s = float(out)  # device->host sync (block_until_ready unreliable via tunnel)
+    t_compile = time.time() - t0
+    t0 = time.time()
+    for _ in range(n):
+        out = fn(*args)
+    s = float(out)
+    dt = (time.time() - t0) / n
+    print(f"{name:>28s}: {dt * 1e3:8.1f} ms  (compile+1st {t_compile:5.1f}s, val {s:.3e})",
+          flush=True)
+    return dt
+
+
+
+def main():
+    meta = make_meta()
+    meta_dense = make_meta(shade_fraction=1.0)
+    print(f"device={jax.devices()[0]} grid={meta.grid_size} S={meta.n_samples}",
+          flush=True)
+    params = kplane.init_params(jax.random.PRNGKey(0), meta)
+    key = jax.random.PRNGKey(1)
+
+    def render_loss(params, t, ro, rd, key, m, advect, out_key):
+        out = kplane.render_rays(params, m, t, ro, rd, key=key, training=True,
+                                 white_bg=True, advect=advect)
+        return jnp.sum(out[out_key])
+
+    def g(m, advect, out_key):
+        def f(params, t, ro, rd, key):
+            grads = jax.grad(render_loss)(params, t, ro, rd, key, m, advect, out_key)
+            return sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(grads))
+        return jax.jit(f)
+
+    def fwd(m):
+        def f(params, t, ro, rd, key):
+            return render_loss(params, t, ro, rd, key, m, True, "rgb")
+        return jax.jit(f)
+
+    # per-chunk scale (the trainer's scan runs 256-ray chunks 32x per batch)
+    ro, rd, t = make_rays(256)
+    timed("C256 fwd rgb", fwd(meta), (params, t, ro, rd, key))
+    timed("C256 acc-grad (density)", g(meta, True, "acc"), (params, t, ro, rd, key))
+    timed("C256 acc-grad no-advect", g(meta, False, "acc"), (params, t, ro, rd, key))
+    c256 = timed("C256 rgb-grad (topk)", g(meta, True, "rgb"), (params, t, ro, rd, key))
+    timed("C256 rgb-grad (dense)", g(meta_dense, True, "rgb"), (params, t, ro, rd, key))
+
+    ro2, rd2, t2 = make_rays(512, seed=1)
+    c512 = timed("C512 rgb-grad (topk)", g(meta, True, "rgb"), (params, t2, ro2, rd2, key))
+
+    @jax.jit
+    def pde(params, key):
+        grads = jax.grad(
+            lambda p: vel_pde_loss(p, meta, key, 262144, occupied_budget=32768)
+        )(params)
+        return sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(grads))
+
+    t5 = timed("T5 PDE-grad", pde, (params, key))
+
+    est = 2 * 32 * c256 * 1e3 + t5 * 1e3
+    print(f"\nestimate 64x C256 + PDE = {est:.0f} ms vs full step ~2626 ms", flush=True)
+    print(f"512-vs-256 scaling: {c512 / c256:.2f}x (2.0 = linear)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -73,3 +73,52 @@ def test_importance_sampler_prefers_changing_pixels():
     ids = np.concatenate([s.nextids() for _ in range(50)])
     frac_dynamic = np.mean((ids % n_pix) < 32)
     assert frac_dynamic > 0.9, frac_dynamic
+
+
+def test_block_sparse_matches_dense():
+    """block_budget < 1 with a budget covering every active block must be
+    numerically identical to the dense path (skipped blocks are all-invalid
+    => exact zeros), with dropped_blocks == 0."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dataclasses import replace
+    from nvfi_tpu.fields import kplane
+
+    meta = kplane.KPlaneMeta(
+        grid_size=(24, 24, 24), num_keyframes=4, tmax=0.75,
+        aabb=((-2.0,) * 3, (2.0,) * 3), near_far=(2.0, 6.0),
+        density_n_comp=8, app_n_comp=8, app_dim=8,
+        density_shift=-10.0, distance_scale=25.0,
+        alpha_mask_thres=1e-4, raymarch_weight_thres=1e-4,
+        feature_c=32, max_n_samples=192, use_vel=True,
+    )
+    params = kplane.init_params(jax.random.PRNGKey(0), meta)
+    rng = np.random.RandomState(3)
+    n = 32
+    ro = jnp.asarray(np.tile([[0.0, 0.0, 4.0]], (n, 1)).astype(np.float32))
+    d = np.concatenate([rng.randn(n, 2) * 0.3, -np.ones((n, 1))], -1)
+    rd = jnp.asarray(d.astype(np.float32))
+    t = jnp.asarray(rng.rand(n).astype(np.float32) * 0.75)
+    key = jax.random.PRNGKey(7)
+
+    dense = kplane.render_rays(params, meta, t, ro, rd, key=key,
+                               training=False, white_bg=True)
+    sparse_meta = replace(meta, block_budget=0.9)
+    sparse = kplane.render_rays(params, sparse_meta, t, ro, rd, key=key,
+                                training=False, white_bg=True)
+    assert float(sparse["dropped_blocks"]) == 0.0
+    for k in ("rgb", "depth", "acc"):
+        np.testing.assert_allclose(np.asarray(sparse[k]), np.asarray(dense[k]),
+                                    rtol=1e-5, atol=1e-6, err_msg=k)
+    # gradients agree too (the scatter/gather VJPs are exact)
+    def loss(p, m):
+        out = kplane.render_rays(p, m, t, ro, rd, key=key, training=True,
+                                 white_bg=True)
+        return jnp.sum(out["rgb"] ** 2)
+
+    g_dense = jax.grad(loss)(params, meta)
+    g_sparse = jax.grad(loss)(params, sparse_meta)
+    for a, b in zip(jax.tree.leaves(g_dense), jax.tree.leaves(g_sparse)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                    rtol=2e-4, atol=1e-6)

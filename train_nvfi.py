@@ -67,6 +67,9 @@ def main():
     parser.add_argument("--synth_frames", type=int, default=48)
     parser.add_argument("--devices", type=int, default=0)
     parser.add_argument("--logdir", type=str, default="")
+    parser.add_argument("--profile", type=int, default=0,
+                        help="wrap the first N train steps in a "
+                             "jax.profiler trace written to <logdir>/profile")
     parser.add_argument("opts", nargs="*", help="dot-path config overrides: key value ...")
     args = parser.parse_args()
 
@@ -177,12 +180,59 @@ def main():
                 p = psnr_fn(out["rgb"], dataset[0]["val"][idx])
                 print(f"[val] it={it} view={idx} psnr={p:.2f}", flush=True)
                 from nvfi_tpu.eval.harness import save_png
+                from nvfi_tpu.utils.viz import visualize_depth
 
+                depth_vis, _ = visualize_depth(out["depth"], minmax=tr.meta.near_far)
                 save_png(os.path.join(logdir, f"val_{it:06d}.png"), out["rgb"])
+                save_png(os.path.join(logdir, f"val_{it:06d}_depth.png"), depth_vis)
+                if wandb:
+                    # validation image/depth panels (reference
+                    # train_nvfi.py:311-324)
+                    wandb.log({
+                        "val_psnr": p,
+                        "validation/rgb": wandb.Image(np.asarray(out["rgb"])),
+                        "validation/depth": wandb.Image(np.asarray(depth_vis)),
+                    }, step=it)
+
+        if args.profile and (args.iters or int(cfg.experiment.train_iters)) > 0:
+            # jax.profiler trace around the first N steps (SURVEY.md §5.1)
+            import jax.profiler
+
+            trace_dir = os.path.join(logdir, "profile")
+            n_prof = trainer.global_step + args.profile
+            try:
+                with jax.profiler.trace(trace_dir):
+                    trainer.train(iters=n_prof, log_fn=log, val_fn=val_fn)
+                print(f"[profile] trace for {args.profile} steps -> {trace_dir}",
+                      flush=True)
+            except Exception as e:  # tunnel backends may lack device tracing
+                print(f"[profile] tracing unavailable on this backend: {e}",
+                      flush=True)
 
         trainer.train(iters=iters, log_fn=log, val_fn=val_fn)
         metrics_f.close()
         trainer.save(os.path.join(logdir, f"model_{trainer.global_step - 1:05d}"))
+
+        if dataset[3].get("val"):
+            # time-sweep video panel from a fixed val pose (the reference logs
+            # a GIF video of validation renders, train_nvfi.py:311-324)
+            try:
+                from nvfi_tpu.eval.harness import save_gif_time_sweep
+
+                gif_path = os.path.join(logdir, "time_sweep.gif")
+                frames = save_gif_time_sweep(
+                    trainer.params, trainer.meta, dataset, gif_path,
+                    white_bg=bool(cfg.dataset.white_background),
+                )
+                print(f"[video] {frames.shape[0]}-frame time sweep -> {gif_path}",
+                      flush=True)
+                if wandb:
+                    wandb.log({"validation/video": wandb.Video(
+                        (np.clip(frames, 0, 1) * 255).astype(np.uint8).transpose(0, 3, 1, 2),
+                        fps=8, format="gif",
+                    )})
+            except Exception as e:
+                print(f"[video] skipped: {e}", flush=True)
 
     if args.eval_test or args.eval_val:
         from nvfi_tpu.eval.harness import render_split
