@@ -78,6 +78,28 @@ def default_objects():
     ]
 
 
+def fan_objects():
+    """A fan-like donor scene for cross-scene motion transfer: three 'blade'
+    spheres orbiting the z-axis about a hub, plus the static hub.  Kept inside
+    a TIGHTER aabb (use bbox +-1.5, configs/synth/fan.yaml) than the bat scene
+    so grafting its velocity into a +-2 scene exercises the normalized-
+    coordinate mismatch risk (VERDICT.md item 5)."""
+    blades = []
+    for k in range(3):
+        a = 2.0 * np.pi * k / 3.0
+        blades.append(RigidSphere(
+            center=(0.75 * np.cos(a), 0.75 * np.sin(a), 0.15),
+            radius=0.28,
+            color=((0.9, 0.6, 0.15), (0.2, 0.7, 0.9), (0.75, 0.3, 0.8))[k],
+            omega=(0, 0, 4.0), pivot=(0, 0, 0.15),
+        ))
+    hub = RigidSphere(center=(0.0, 0.0, 0.15), radius=0.3, color=(0.6, 0.6, 0.62))
+    return blades + [hub]
+
+
+SCENE_OBJECTS = {"bat": default_objects, "fan": fan_objects}
+
+
 def render_frame(objects, pose, H, W, focal, t, white_background=True, light=(0.5, 0.5, 1.0)):
     """Analytic ray trace: returns (rgb (H,W,3), segm (H,W) int32 with 0=bg)."""
     rays_o, rays_d = ray_bundle(pose, H, W, focal)
@@ -139,7 +161,10 @@ def make_synthetic_scene(
     reference config/InDoorObj/bat.yaml:137).  Returns the standard 7-tuple
     plus a dict of extras (objects, segm masks per split).
     """
-    objects = default_objects() if objects is None else objects
+    if objects is None:
+        objects = default_objects()
+    elif isinstance(objects, str):
+        objects = SCENE_OBJECTS[objects]()
     rng = np.random.RandomState(seed)
     focal = 0.5 * W / np.tan(0.5 * 0.6911112)  # blender's default ~0.69 rad fov
 

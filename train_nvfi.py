@@ -36,6 +36,7 @@ def build_dataset(cfg, args):
             H=args.synth_res, W=args.synth_res,
             tmax_frac=float(cfg.nvfi.tmax),
             white_background=bool(cfg.dataset.white_background),
+            objects=str(cfg.dataset.get("synthetic_objects", "bat")),
         )[:7]
     from nvfi_tpu.data import load_blender_data
 
