@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 import os
+import sys
 import time
 from dataclasses import dataclass
 
@@ -423,8 +424,13 @@ class Trainer:
         return valid if len(valid) else np.arange(len(t))
 
     def train(self, iters: int | None = None, log_fn=None, vel_pts: int | None = None,
-              val_fn=None):
-        """Run the full staged schedule for ``iters`` steps."""
+              val_fn=None, progress: bool = False, progress_refresh: int = 10):
+        """Run the full staged schedule for ``iters`` steps.
+
+        ``progress``: tqdm progress bar with psnr/loss in the description
+        (reference train_nvfi.py:138,267-272; refresh cadence from
+        cfg.pbar.progress_refresh_rate).
+        """
         hp = self.hp
         iters = hp.train_iters if iters is None else iters
         step_fn = self._get_step_fn(vel_pts)
@@ -438,6 +444,12 @@ class Trainer:
 
         pool_all = jnp.arange(n_frames, dtype=jnp.int32)
         pool_key = jnp.asarray(key_frames, dtype=jnp.int32)
+        pbar = None
+        if progress:
+            import tqdm
+
+            pbar = tqdm.tqdm(total=iters, initial=self.global_step,
+                             miniters=progress_refresh, file=sys.stdout)
         for it in range(self.global_step, iters):
             self.key, k_step = jax.random.split(self.key)
             frame_idx = self.rng.randint(n_frames)
@@ -450,6 +462,16 @@ class Trainer:
                 jnp.float32(self.l1_base), jnp.float32(self.l1_step0),
             )
 
+            if pbar is not None:
+                pbar.update(1)
+                if it % progress_refresh == 0:
+                    # device->host sync happens here anyway for the metrics
+                    pbar.set_description(
+                        f"Iter {it:05d}: psnr = "
+                        f"{mse2psnr(float(metrics.get('rgb_loss_0', 0.0)) or 1.0):.2f}|"
+                        f"{mse2psnr(float(metrics.get('rgb_loss_t', 0.0)) or 1.0):.2f}"
+                        f" loss = {float(metrics['loss']):.6f}"
+                    )
             if log_fn and (it % hp.print_every == 0 or it == iters - 1):
                 m = {k: float(v) for k, v in metrics.items()}
                 m["psnr_t"] = mse2psnr(m.get("rgb_loss_t", 0.0) or 1.0)
@@ -497,6 +519,8 @@ class Trainer:
 
             self.global_step = it + 1
 
+        if pbar is not None:
+            pbar.close()
         self.opt_state = opt_state
         return metrics
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 
 import numpy as np
 
@@ -210,7 +211,11 @@ def main():
                 print(f"[profile] tracing unavailable on this backend: {e}",
                       flush=True)
 
-        trainer.train(iters=iters, log_fn=log, val_fn=val_fn)
+        trainer.train(
+            iters=iters, log_fn=log, val_fn=val_fn,
+            progress=sys.stdout.isatty(),
+            progress_refresh=int(cfg.get("pbar", {}).get("progress_refresh_rate", 10)),
+        )
         metrics_f.close()
         trainer.save(os.path.join(logdir, f"model_{trainer.global_step - 1:05d}"))
 
