@@ -244,3 +244,111 @@ def density_l1(params, meta: StaticMeta):
     for p in params["density_line"]:
         total = total + jnp.mean(jnp.abs(p))
     return total
+
+
+def tv_loss_density(params, meta: StaticMeta):
+    """Plane TV (reference TensorVMSplit.TV_loss_density: planes only x1e-2)."""
+    from .kplane import _tv
+
+    total = 0.0
+    if meta.decomposition == "VM":
+        for p in params["density_plane"]:
+            total = total + _tv(p, False) * 1e-2
+    return total
+
+
+def tv_loss_app(params, meta: StaticMeta):
+    from .kplane import _tv
+
+    total = 0.0
+    if meta.decomposition == "VM":
+        for p in params["app_plane"]:
+            total = total + _tv(p, False) * 1e-2
+    return total
+
+
+def compute_dense_alpha(params, meta: StaticMeta, grid_size: tuple, chunk: int = 262144):
+    """Dense static alpha grid (reference TensorBase.getDenseAlpha :356-376:
+    alpha = 1 - exp(-sigma * 0.01) with the hardcoded 0.01 step)."""
+    gx, gy, gz = grid_size
+    a = meta.aabb_np
+    lin = [np.linspace(0.0, 1.0, g, dtype=np.float32) for g in (gx, gy, gz)]
+    mesh = np.stack(np.meshgrid(*lin, indexing="ij"), axis=-1)
+    dense_xyz = a[0] * (1 - mesh) + a[1] * mesh
+    flat = normalize_coord(meta, dense_xyz.reshape(-1, 3)).astype(np.float32)
+    total = flat.shape[0]
+    chunk = min(chunk, total)
+
+    @jax.jit
+    def alpha_chunk(params, xyz_c):
+        sigma = feature2density(meta, density_feature(params, meta, xyz_c))
+        return 1.0 - jnp.exp(-sigma * 0.01 * meta.distance_scale)
+
+    pad = (-total) % chunk
+    padded = np.concatenate([flat, np.zeros((pad, 3), np.float32)]) if pad else flat
+    out = [np.asarray(alpha_chunk(params, jnp.asarray(padded[i:i + chunk])))
+           for i in range(0, padded.shape[0], chunk)]
+    alpha = np.concatenate(out)
+    if pad:
+        alpha = alpha[:-pad]
+    return jnp.asarray(alpha.reshape(gx, gy, gz)), jnp.asarray(dense_xyz)
+
+
+def update_alpha_mask(params, meta: StaticMeta, grid_size: tuple):
+    """Binary occupancy volume + shrunk aabb (reference updateAlphaMask
+    :378-405), stored (gz,gy,gx) like the dynamic model's mask."""
+    from ..ops.resize import max_pool3d_same
+
+    alpha, dense_xyz = compute_dense_alpha(params, meta, grid_size)
+    alpha = jnp.clip(alpha, 0, 1).transpose(2, 1, 0)
+    alpha = max_pool3d_same(alpha, kernel=3)
+    alpha = (alpha >= meta.alpha_mask_thres).astype(jnp.float32)
+
+    alpha_np = np.asarray(alpha)
+    dense_np = np.asarray(dense_xyz).transpose(2, 1, 0, 3)
+    occ = alpha_np > 0.5
+    if occ.any():
+        valid_xyz = dense_np[occ]
+        new_aabb = np.stack([valid_xyz.min(0), valid_xyz.max(0)])
+    else:
+        new_aabb = meta.aabb_np.copy()
+    return {"volume": jnp.asarray(alpha_np), "aabb": jnp.asarray(meta.aabb_np)}, new_aabb
+
+
+def shrink(params, meta: StaticMeta, new_aabb):
+    """Crop planes + lines to a tightened aabb (reference TensorBase.shrink
+    :926-968), with the reference's voxel-boundary aabb correction."""
+    a = meta.aabb_np
+    gs = np.asarray(meta.grid_size)
+    units = meta.aabb_size / (gs - 1)
+    xyz_min, xyz_max = np.asarray(new_aabb)
+    t_l = np.round(np.round((xyz_min - a[0]) / units)).astype(np.int64)
+    b_r = np.round((xyz_max - a[0]) / units).astype(np.int64) + 1
+    b_r = np.minimum(b_r, gs)
+    t_l = np.clip(t_l, 0, None)
+
+    new_params = dict(params)
+    if meta.decomposition == "VM":
+        for name in ("density_plane", "app_plane"):
+            new_params[name] = [
+                p[t_l[MAT_SPACE[i][1]]:b_r[MAT_SPACE[i][1]],
+                  t_l[MAT_SPACE[i][0]]:b_r[MAT_SPACE[i][0]], :]
+                for i, p in enumerate(params[name])
+            ]
+    for name in ("density_line", "app_line"):
+        new_params[name] = [
+            p[t_l[VEC_MODE[i]]:b_r[VEC_MODE[i]], :]
+            for i, p in enumerate(params[name])
+        ]
+
+    t_l_r = t_l / (gs - 1)
+    b_r_r = (b_r - 1) / (gs - 1)
+    correct = np.zeros((2, 3), dtype=np.float32)
+    correct[0] = (1 - t_l_r) * a[0] + t_l_r * a[1]
+    correct[1] = (1 - b_r_r) * a[0] + b_r_r * a[1]
+    new_meta = replace(
+        meta,
+        grid_size=tuple(int(v) for v in (b_r - t_l)),
+        aabb=tuple(tuple(float(v) for v in row) for row in correct),
+    )
+    return new_params, new_meta

@@ -68,6 +68,10 @@ def make_static_step(meta: tensorf_vm.StaticMeta, hp: TrainHP, H, W, focal):
         loss = rgb_loss
         if hp.L1_weight_initial > 0:
             loss = loss + hp.L1_weight_initial * reg_scale * tensorf_vm.density_l1(params, meta)
+        if hp.TV_weight_density > 0:
+            loss = loss + hp.TV_weight_density * reg_scale * tensorf_vm.tv_loss_density(params, meta)
+        if hp.TV_weight_app > 0:
+            loss = loss + hp.TV_weight_app * reg_scale * tensorf_vm.tv_loss_app(params, meta)
         return loss, {"loss": loss, "rgb_loss_0": rgb_loss}
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -105,6 +109,7 @@ class StaticTrainer:
         self.key, k0 = jax.random.split(self.key)
         self.params = tensorf_vm.init_params(k0, self.meta)
         self.global_step = 0
+        self.alpha_state = None
         n_up = len(self.hp.upsamp_list)
         self.n_voxel_list = exp_schedule(self.hp.n_voxel_init, self.hp.n_voxel_final, n_up)
 
@@ -134,6 +139,15 @@ class StaticTrainer:
                 m.update(it=it, psnr_0=mse2psnr(m["rgb_loss_0"] or 1.0),
                          elapsed=time.time() - t0)
                 log_fn(m)
+            if it in hp.update_alphamask_list:
+                # alpha-mask + shrink stage event (reference train_nvfi.py:332-341)
+                reso_mask = tuple(min(g, 200) for g in self.meta.grid_size)
+                self.alpha_state, new_aabb = tensorf_vm.update_alpha_mask(
+                    self.params, self.meta, reso_mask
+                )
+                self.params, self.meta = tensorf_vm.shrink(self.params, self.meta, new_aabb)
+                step_fn = make_static_step(self.meta, hp, self.H, self.W, self.focal)
+                opt_state = optim.init_state(self.params)
             if it in hp.upsamp_list:
                 n_vox = self.n_voxel_list.pop(0)
                 res = n_to_reso(n_vox, self.meta.aabb_np)

@@ -12,14 +12,19 @@ import numpy as np
 import pytest
 
 REF_CFG_DIR = "/root/reference/config"
-ALL_CONFIGS = sorted(glob.glob(os.path.join(REF_CFG_DIR, "*", "*.yaml")))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# the reference's 10 configs + our shipped mirrors of them
+ALL_CONFIGS = sorted(
+    glob.glob(os.path.join(REF_CFG_DIR, "*", "*.yaml"))
+    + glob.glob(os.path.join(REPO, "configs", "indoor_*", "*.yaml"))
+)
 
 pytestmark = pytest.mark.skipif(
     not ALL_CONFIGS, reason="reference configs not present in this image"
 )
 
 
-@pytest.mark.parametrize("path", ALL_CONFIGS, ids=lambda p: "/".join(p.split("/")[-2:]))
+@pytest.mark.parametrize("path", ALL_CONFIGS, ids=lambda p: "/".join(p.split("/")[-3:]))
 def test_reference_config_builds_model(path):
     from nvfi_tpu.config import load_config
     from nvfi_tpu.fields import kplane

@@ -75,3 +75,23 @@ def test_static_vm_overfits_single_frame():
     logs = []
     tr.train(iters=120, log_fn=logs.append)
     assert logs[-1]["psnr_0"] > logs[0]["psnr_0"] + 4
+
+
+def test_static_alphamask_shrink_stage():
+    """Alpha-mask + shrink stage event on the static VM path: the aabb
+    tightens around the object and training continues finite (reference
+    TensorBase.updateAlphaMask/shrink, tensorf_base.py:356-405,926-968)."""
+    from nvfi_tpu.train.static import StaticTrainer
+
+    data = make_synthetic_scene(n_train=6, n_val=1, n_test=1, H=32, W=32)
+    cfg = static_cfg()
+    cfg.nvfi.update_AlphaMask_list = [4]
+    tr = StaticTrainer(cfg, data)
+    old_vol = float(np.prod(tr.meta.aabb_size))
+    logs = []
+    tr.train(iters=8, log_fn=logs.append)
+    assert tr.alpha_state is not None
+    assert tr.alpha_state["volume"].ndim == 3
+    new_vol = float(np.prod(tr.meta.aabb_size))
+    assert new_vol <= old_vol + 1e-6
+    assert np.isfinite(logs[-1]["loss"])
