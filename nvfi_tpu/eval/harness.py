@@ -78,6 +78,13 @@ def render_split(
             params, meta, tuple(min(g, alpha_grid) for g in meta.grid_size),
             transfer=transfer_vel,
         )
+    if alpha_state is not None and not (0.0 < meta.block_budget < 1.0):
+        # with occupancy pruning active, most 64-sample blocks are empty —
+        # run the eval renders block-sparse with a generous budget (exact as
+        # long as no active block is dropped; render_image asserts that)
+        from dataclasses import replace
+
+        meta = replace(meta, block_budget=0.5)
     if savedir:
         os.makedirs(savedir, exist_ok=True)
 

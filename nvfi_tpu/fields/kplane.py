@@ -84,6 +84,9 @@ class KPlaneMeta:
     vel_gate: VelGate = field(default_factory=lambda: VelGate("aabb", 0.03))
     mask_dim: int = 0  # >0 when a segmentation MaskField head is attached
     alpha_grid: tuple = ()  # (D,H,W) of the occupancy volume; () = no mask
+    train_occupancy_prune: bool = False  # opt-in "turbo": prune TRAINING
+    # samples by the alpha mask too (the reference prunes only in eval);
+    # changes the training estimator only by dropping provably-empty samples
     compute_dtype: str = "float32"  # 'bfloat16' halves HBM gather traffic; the
     # interpolation/compositing math auto-promotes back to f32 (master weights
     # and Adam state always stay f32)
@@ -188,6 +191,7 @@ def meta_from_cfg(nvfi_cfg, aabb, grid_size, near_far) -> KPlaneMeta:
         use_vel=bool(nvfi_cfg.use_vel),
         vel_gate=gate,
         compute_dtype=str(nvfi_cfg.get("compute_dtype", "float32")),
+        train_occupancy_prune=bool(nvfi_cfg.get("train_occupancy_prune", False)),
         ray_sampling=(
             "contracted" if nvfi_cfg.get("contract_ray", False) else "box"
         ),
@@ -608,8 +612,11 @@ def render_rays(
         base_times = snap_to_keyframe(meta, t)
         time_offset = t - base_times
 
-    # eval-only occupancy pruning (reference :656-661)
-    if alpha_state is not None and not training:
+    # occupancy pruning: eval-only in the reference (:656-661); with the
+    # opt-in train_occupancy_prune ("turbo") flag it also prunes TRAINING
+    # samples — a TPU-native throughput mode justified by matched quality,
+    # not a parity default.  Feeds the block-sparse selection below.
+    if alpha_state is not None and (not training or meta.train_occupancy_prune):
         alphas = sample_alpha(alpha_state, xyz)
         valid = valid & (alphas > 0)
 

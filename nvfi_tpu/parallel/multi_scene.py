@@ -112,9 +112,11 @@ class MultiSceneTrainer:
                  poses, images, times, pool_all, pool_key, l1_base, l1_step0):
             return jax.vmap(
                 inner,
-                in_axes=(0, 0, 0, 0, 0, None, 0, 0, 0, None, None, None, None),
+                in_axes=(0, 0, 0, 0, 0, None, 0, 0, 0, None, None, None, None,
+                         None),
             )(params, opt_state, keys, frame_idx, key_idx, global_step,
-              poses, images, times, pool_all, pool_key, l1_base, l1_step0)
+              poses, images, times, pool_all, pool_key, l1_base, l1_step0,
+              jnp.zeros(()))
 
         self._step = step
 

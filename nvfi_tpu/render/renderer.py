@@ -73,6 +73,11 @@ def render_image(
             training=False, white_bg=white_bg, transfer_vel=transfer_vel,
             n_samples=meta.n_samples,
         )
+        nd = float(res.get("dropped_blocks", 0.0))
+        if nd > 0:
+            # budget clipped real work: the render is no longer exact
+            print(f"[render] WARNING: {int(nd)} active sample-blocks dropped "
+                  f"by block_budget={meta.block_budget}; raise the budget")
         res = {k: np.asarray(v) for k, v in res.items() if k in ("rgb", "depth", "acc", "mask")}
         if pad:
             res = {k: v[:-pad] for k, v in res.items()}

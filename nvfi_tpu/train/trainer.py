@@ -154,7 +154,8 @@ def _rays_from_pose(pose, H, W, focal, ii, jj):
 
 
 def make_train_step(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str, H: int, W: int,
-                    focal: float, mesh=None, vel_pts: int | None = None):
+                    focal: float, mesh=None, vel_pts: int | None = None,
+                    use_alpha: bool = False):
     """Build the jitted per-iteration step for one stage.
 
     The returned function has signature
@@ -188,16 +189,16 @@ def make_train_step(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str, H: int, W: 
         ray_chunk -= 1
     n_chunks = n_rays // ray_chunk
 
-    def render_batch(params, key, pose, image, t, advect=True):
+    def render_batch(params, key, pose, image, t, alpha_state, advect=True):
         k_pix, k_render = jax.random.split(key)
         pix = jax.random.choice(k_pix, H * W, (n_rays,), replace=False)
         ii, jj = pix // W, pix % W
         ray_o, ray_d = _rays_from_pose(pose, H, W, focal, ii, jj)
         ray_o, ray_d = constrain(ray_o), constrain(ray_d)
         target = constrain(image[ii, jj])
-        return _chunked_mse(params, ray_o, ray_d, target, t, k_render, advect)
+        return _chunked_mse(params, ray_o, ray_d, target, t, k_render, advect, alpha_state)
 
-    def render_batch_multi(params, key, pool, poses, images, times, advect=True):
+    def render_batch_multi(params, key, pool, poses, images, times, alpha_state, advect=True):
         """Epoch-style batch: each ray drawn from a random frame in ``pool``."""
         k_f, k_pix, k_render = jax.random.split(key, 3)
         f = pool[jax.random.randint(k_f, (n_rays,), 0, pool.shape[0])]
@@ -212,15 +213,16 @@ def make_train_step(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str, H: int, W: 
         ray_o, ray_d = constrain(ray_o), constrain(ray_d)
         target = constrain(images[f, ii, jj])
         tvec = times[f]
-        return _chunked_mse(params, ray_o, ray_d, target, tvec, k_render, advect)
+        return _chunked_mse(params, ray_o, ray_d, target, tvec, k_render, advect, alpha_state)
 
-    def _chunked_mse(params, ray_o, ray_d, target, t, k_render, advect):
+    def _chunked_mse(params, ray_o, ray_d, target, t, k_render, advect, alpha_state):
         t = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (n_rays,))
 
         def chunk_loss(params, ro, rd, tgt, tc, kr):
             out = kplane.render_rays(
                 params, meta, tc, ro, rd, key=kr,
                 training=True, white_bg=hp.white_bg, advect=advect,
+                alpha_state=alpha_state if use_alpha else None,
             )
             return jnp.sum((out["rgb"] - tgt) ** 2), out["dropped_blocks"]
 
@@ -248,7 +250,7 @@ def make_train_step(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str, H: int, W: 
         return sse / (n_rays * 3), dropped
 
     def loss_fn(params, key, frame_idx, key_frame_idx, global_step, poses, images,
-                times, pool_all, pool_key, l1_base, l1_step0):
+                times, pool_all, pool_key, l1_base, l1_step0, alpha_state):
         keys = jax.random.split(key, 4)
         gs = global_step.astype(jnp.float32)
         reg_scale = lr_factor ** (gs + 1.0)
@@ -261,11 +263,12 @@ def make_train_step(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str, H: int, W: 
         if mode in ("static_dynamic", "dynamic", "vel"):
             if hp.multi_frame:
                 rgb_loss_t, d = render_batch_multi(
-                    params, keys[0], pool_all, poses, images, times
+                    params, keys[0], pool_all, poses, images, times, alpha_state
                 )
             else:
                 rgb_loss_t, d = render_batch(
-                    params, keys[0], poses[frame_idx], images[frame_idx], times[frame_idx]
+                    params, keys[0], poses[frame_idx], images[frame_idx],
+                    times[frame_idx], alpha_state
                 )
             loss = loss + rgb_loss_t
             dropped = dropped + d
@@ -274,12 +277,13 @@ def make_train_step(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str, H: int, W: 
             # statically-known no-op — skip the two velocity-MLP sweeps
             if hp.multi_frame:
                 rgb_loss_0, d = render_batch_multi(
-                    params, keys[1], pool_key, poses, images, times, advect=False
+                    params, keys[1], pool_key, poses, images, times, alpha_state,
+                    advect=False
                 )
             else:
                 rgb_loss_0, d = render_batch(
                     params, keys[1], poses[key_frame_idx], images[key_frame_idx],
-                    times[key_frame_idx], advect=False
+                    times[key_frame_idx], alpha_state, advect=False
                 )
             loss = loss + rgb_loss_0
             dropped = dropped + d
@@ -323,10 +327,11 @@ def make_train_step(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str, H: int, W: 
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, key, frame_idx, key_frame_idx, global_step,
-                   poses, images, times, pool_all, pool_key, l1_base, l1_step0):
+                   poses, images, times, pool_all, pool_key, l1_base, l1_step0,
+                   alpha_state):
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
             params, key, frame_idx, key_frame_idx, global_step, poses, images,
-            times, pool_all, pool_key, l1_base, l1_step0
+            times, pool_all, pool_key, l1_base, l1_step0, alpha_state
         )
         lr_tree = optim.make_lr_tree(params, hp.lr_grid, hp.lr_net, hp.lr_vel)
         if mode == "vel":
@@ -406,11 +411,14 @@ class Trainer:
         cache = getattr(self, "_step_cache", None)
         if cache is None:
             cache = self._step_cache = {}
-        key = (self.meta, vel_pts)
+        use_alpha = bool(
+            self.meta.train_occupancy_prune and self.alpha_state is not None
+        )
+        key = (self.meta, vel_pts, use_alpha)
         if key not in cache:
             cache[key] = make_train_step(
                 self.meta, self.hp, self.mode, self.H, self.W, self.focal,
-                self.mesh, vel_pts,
+                self.mesh, vel_pts, use_alpha=use_alpha,
             )
         return cache[key]
 
@@ -460,6 +468,7 @@ class Trainer:
                 self.poses_buf, self.images_buf, self.times_buf,
                 pool_all, pool_key,
                 jnp.float32(self.l1_base), jnp.float32(self.l1_step0),
+                self.alpha_state if self.alpha_state is not None else jnp.zeros(()),
             )
 
             if pbar is not None:

@@ -193,3 +193,22 @@ def test_l1_weight_reset_switches_at_first_alphamask(tiny_scene):
     assert tr.l1_base == pytest.approx(4e-4)
     assert tr.l1_step0 == 2
     assert np.isfinite(float(m["loss"]))
+
+
+def test_turbo_occupancy_pruned_training(tiny_scene):
+    """Opt-in turbo: after the alpha-mask event, training prunes masked
+    samples (train_occupancy_prune) under the block-sparse budget and keeps
+    learning; dropped_blocks metric is reported."""
+    from nvfi_tpu.train.trainer import Trainer
+
+    cfg = small_cfg(**{
+        "renderer.n_rays": 64, "experiment.vel_reg_n_pts": 64,
+        "nvfi.max_n_samples": 24, "nvfi.update_AlphaMask_list": [2],
+        "nvfi.train_occupancy_prune": True, "nvfi.block_budget": 0.9,
+    })
+    tr = Trainer(cfg, tiny_scene, mode="static_dynamic")
+    assert tr.meta.train_occupancy_prune
+    m = tr.train(iters=5)
+    assert tr.alpha_state is not None
+    assert "dropped_blocks" in m
+    assert np.isfinite(float(m["loss"]))
