@@ -39,12 +39,19 @@ class MultiSceneTrainer:
     """vmap-over-scenes wrapper around the single-scene train step."""
 
     def __init__(self, cfg, datasets: list, mesh: Mesh | None = None,
-                 mode: str = "static_dynamic", seed: int = 0):
+                 mode: str = "static_dynamic", seed: int = 0, aabbs=None):
         """Args:
           cfg: one reference-schema config shared by all scenes (shapes must
             match; per-scene content differs through ``datasets``).
           datasets: list of loader 7-tuples, one per scene; all frames must
             share (H, W, focal) and frame count.
+          aabbs: optional per-scene (2,3) world boxes for heterogeneous suites
+            (e.g. InDoorSeg z in [0,6] next to InDoorObj +-2): every scene is
+            embedded into one canonical box by TRANSLATING its cameras so the
+            scene box is centered at the origin; the canonical box takes the
+            per-axis max extent.  Translation keeps near/far and all distances
+            exact (unlike scaling), at the cost of some wasted grid for
+            smaller scenes.  Use ``scene_offset(i)`` to map back to world.
         """
         self.cfg = cfg
         self.hp = TrainHP.from_cfg(cfg)
@@ -57,10 +64,22 @@ class MultiSceneTrainer:
         split = "train"
         self.n_frames = counts0[split]
 
-        aabb = np.stack(
-            [np.asarray(cfg.nvfi.bbox_x), np.asarray(cfg.nvfi.bbox_y),
-             np.asarray(cfg.nvfi.bbox_z)], axis=-1,
-        )
+        self.scene_offsets = np.zeros((self.n_scenes, 3), np.float32)
+        if aabbs is not None:
+            boxes = np.asarray(aabbs, dtype=np.float64)  # (S, 2, 3)
+            assert boxes.shape == (self.n_scenes, 2, 3), boxes.shape
+            self.scene_offsets = boxes.mean(axis=1).astype(np.float32)
+            half = (boxes[:, 1] - boxes[:, 0]).max(axis=0) / 2.0  # per-axis max
+            aabb = np.stack([-half, half])
+            datasets = [
+                self._translate_dataset(d, self.scene_offsets[i], split)
+                for i, d in enumerate(datasets)
+            ]
+        else:
+            aabb = np.stack(
+                [np.asarray(cfg.nvfi.bbox_x), np.asarray(cfg.nvfi.bbox_y),
+                 np.asarray(cfg.nvfi.bbox_z)], axis=-1,
+            )
         from ..train.trainer import n_to_reso
 
         res0 = n_to_reso(int(cfg.nvfi.N_voxel_init), aabb)
@@ -148,6 +167,23 @@ class MultiSceneTrainer:
                 log_fn({k2: np.asarray(v) for k2, v in metrics.items()} | {"it": it})
             self.global_step = it + 1
         return metrics
+
+    @staticmethod
+    def _translate_dataset(dataset, offset, split):
+        """Shift every camera of ``split`` by -offset (world -> canonical)."""
+        imgs, poses, times, counts = dataset[0], dataset[1], dataset[2], dataset[3]
+        new_poses = dict(poses)
+        shifted = []
+        for p in poses[split]:
+            p = np.array(p, np.float32).copy()
+            p[:3, 3] -= offset
+            shifted.append(p)
+        new_poses = {**poses, split: shifted}
+        return (imgs, new_poses, times, counts) + tuple(dataset[4:])
+
+    def scene_offset(self, i: int) -> np.ndarray:
+        """Canonical->world translation for scene i (world = canonical + offset)."""
+        return self.scene_offsets[i]
 
     def scene_params(self, i: int):
         return jax.tree.map(lambda x: x[i], self.params)

@@ -45,3 +45,36 @@ def test_multi_scene_trains_four_scenes_sharded():
     a = np.asarray(jax.tree.leaves(per_scene[0])[0])
     b = np.asarray(jax.tree.leaves(per_scene[1])[0])
     assert np.abs(a - b).max() > 1e-4
+
+
+def test_multi_scene_heterogeneous_aabbs():
+    """Per-scene aabb support: scenes with different world boxes are embedded
+    into one canonical box by camera translation; training stays finite and
+    the offsets round-trip."""
+    import numpy as np
+    from nvfi_tpu.data import make_synthetic_scene
+    from nvfi_tpu.parallel.multi_scene import MultiSceneTrainer
+    from tests.test_train_e2e import small_cfg
+
+    cfg = small_cfg(**{"renderer.n_rays": 32, "experiment.vel_reg_n_pts": 32,
+                       "nvfi.max_n_samples": 16})
+    base = make_synthetic_scene(n_train=4, n_val=1, n_test=1, H=16, W=16)
+
+    # scene 1 = scene 0 rigidly shifted by +5 in z (cameras and box)
+    def shift_scene(d, dz):
+        poses = {k: [np.array(p, np.float32) + 0 for p in v] for k, v in d[1].items()}
+        for p in poses["train"]:
+            p[2, 3] += dz
+        return (d[0], poses, d[2], d[3]) + tuple(d[4:])
+
+    datasets = [base, shift_scene(base, 5.0)]
+    aabbs = [[[-2, -2, -2], [2, 2, 2]], [[-2, -2, 3], [2, 2, 7]]]
+    tr = MultiSceneTrainer(cfg, datasets, aabbs=aabbs)
+    np.testing.assert_allclose(tr.scene_offset(0), [0, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(tr.scene_offset(1), [0, 0, 5.0], atol=1e-6)
+    assert tuple(np.asarray(tr.meta.aabb)[1]) == (2.0, 2.0, 2.0)
+    m = tr.train(iters=2)
+    assert np.isfinite(np.asarray(m["loss"])).all()
+    # identical content after embedding => near-identical per-scene losses
+    losses = np.asarray(m["loss"])
+    assert abs(losses[0] - losses[1]) < 0.5 * max(abs(losses[0]), 1e-3)
