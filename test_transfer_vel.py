@@ -19,12 +19,12 @@ import os
 import numpy as np
 
 
-def _load_scene(cfg, step):
+def _load_scene(cfg, step, scene_dir=""):
     import jax
     import jax.numpy as jnp
     from nvfi_tpu.train import checkpoint as ckpt_mod
 
-    logdir = os.path.join(
+    logdir = scene_dir or os.path.join(
         str(cfg.experiment.logdir), str(cfg.wandb.project), str(cfg.wandb.name)
     )
     path = ckpt_mod.find_checkpoint(logdir, step)
@@ -43,6 +43,10 @@ def main():
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--alpha_grid", type=int, default=200)
     parser.add_argument("--n_views", type=int, default=0)
+    parser.add_argument("--scene_dir", type=str, default="",
+                        help="override host-scene checkpoint dir")
+    parser.add_argument("--scene_dir2", type=str, default="",
+                        help="override donor-scene checkpoint dir")
     args = parser.parse_args()
 
     from nvfi_tpu.config import load_config
@@ -54,8 +58,8 @@ def main():
     if args.full_res:
         cfg.dataset.half_res = False
 
-    params, meta = _load_scene(cfg, args.checkpoint)
-    params2, meta2 = _load_scene(cfg2, args.checkpoint2)
+    params, meta = _load_scene(cfg, args.checkpoint, args.scene_dir)
+    params2, meta2 = _load_scene(cfg2, args.checkpoint2, args.scene_dir2)
 
     # velocity grafting: swap the velocity subtree (reference :67-68)
     params = dict(params)
@@ -80,7 +84,9 @@ def main():
         )
 
     savedir = os.path.join(
-        str(cfg.experiment.logdir), str(cfg.wandb.project), str(cfg.wandb.name),
+        args.scene_dir or os.path.join(
+            str(cfg.experiment.logdir), str(cfg.wandb.project), str(cfg.wandb.name)
+        ),
         "transfer", "test_img",
     )
     preds, errors = render_split(
