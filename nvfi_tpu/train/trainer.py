@@ -153,32 +153,21 @@ def _rays_from_pose(pose, H, W, focal, ii, jj):
     return ray_o, ray_d
 
 
-def make_train_step(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str, H: int, W: int,
-                    focal: float, mesh=None, vel_pts: int | None = None,
-                    use_alpha: bool = False):
-    """Build the jitted per-iteration step for one stage.
+def make_loss_fn(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str, H: int, W: int,
+                 focal: float, vel_pts: int | None = None,
+                 use_alpha: bool = False, constrain=None):
+    """Build the pure per-iteration loss function (renders + regularizers).
 
-    The returned function has signature
-      (params, opt_state, key, frame_idx, key_frame_idx, global_step,
-       poses (F,4,4), images (F,H,W,3), times (F,))
-      -> (params, opt_state, metrics_dict)
+    Shared by the automatic-SPMD step (sharding constraints) and the explicit
+    shard_map step (which calls it per shard with hp.n_rays already divided).
     """
     n_rays = hp.n_rays
     n_pde = vel_pts if vel_pts is not None else hp.vel_reg_n_pts
     lr_factor = hp.lr_factor
     use_pde = meta.use_vel and mode in ("static_dynamic", "dynamic", "vel") and hp.vel_reg_weight > 0
-
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        ray_sharding = NamedSharding(mesh, P("data"))
-    else:
-        ray_sharding = None
-
-    def constrain(x):
-        if ray_sharding is not None:
-            return jax.lax.with_sharding_constraint(x, ray_sharding)
-        return x
+    if constrain is None:
+        def constrain(x):
+            return x
 
     # ray chunking: bound backward-pass activation memory to ~point_batch
     # sample points per chunk (the reference's renderer.batch_size point
@@ -325,6 +314,55 @@ def make_train_step(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str, H: int, W: 
         metrics["loss"] = loss
         return loss, metrics
 
+    return loss_fn
+
+
+def _optimizer_update(params, grads, opt_state, hp: TrainHP, mode: str, global_step):
+    """Per-group Adam update with the reference's decay semantics (shared by
+    both SPMD step variants)."""
+    lr_tree = optim.make_lr_tree(params, hp.lr_grid, hp.lr_net, hp.lr_vel)
+    if mode == "vel":
+        # velocity-only: zero the lr of everything except the velocity net
+        lr_tree = {k: jax.tree.map(lambda _: 0.0, v) if k != "vel" else v
+                   for k, v in lr_tree.items()}
+    lr_scale, vel_scale = decay_scales(
+        hp.lr_factor, hp.lr_upsample_reset,
+        opt_state["step"].astype(jnp.float32),
+        global_step.astype(jnp.float32),
+    )
+    if "vel" in lr_tree:
+        lr_tree = dict(lr_tree)
+        lr_tree["vel"] = jax.tree.map(
+            lambda lr: lr * vel_scale / lr_scale, lr_tree["vel"]
+        )
+    return optim.apply_updates(params, grads, opt_state, lr_tree, lr_scale)
+
+
+def make_train_step(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str, H: int, W: int,
+                    focal: float, mesh=None, vel_pts: int | None = None,
+                    use_alpha: bool = False):
+    """Build the jitted per-iteration step for one stage (automatic SPMD:
+    sharding constraints on the ray batch; XLA inserts the ICI all-reduce).
+
+    The returned function has signature
+      (params, opt_state, key, frame_idx, key_frame_idx, global_step,
+       poses (F,4,4), images (F,H,W,3), times (F,), pool_all, pool_key,
+       l1_base, l1_step0, alpha_state)
+      -> (params, opt_state, metrics_dict)
+    """
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ray_sharding = NamedSharding(mesh, P("data"))
+
+        def constrain(x):
+            return jax.lax.with_sharding_constraint(x, ray_sharding)
+    else:
+        constrain = None
+
+    loss_fn = make_loss_fn(meta, hp, mode, H, W, focal, vel_pts, use_alpha,
+                           constrain)
+
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, key, frame_idx, key_frame_idx, global_step,
                    poses, images, times, pool_all, pool_key, l1_base, l1_step0,
@@ -333,22 +371,69 @@ def make_train_step(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str, H: int, W: 
             params, key, frame_idx, key_frame_idx, global_step, poses, images,
             times, pool_all, pool_key, l1_base, l1_step0, alpha_state
         )
-        lr_tree = optim.make_lr_tree(params, hp.lr_grid, hp.lr_net, hp.lr_vel)
-        if mode == "vel":
-            # velocity-only: zero the lr of everything except the velocity net
-            lr_tree = {k: jax.tree.map(lambda _: 0.0, v) if k != "vel" else v
-                       for k, v in lr_tree.items()}
-        lr_scale, vel_scale = decay_scales(
-            lr_factor, hp.lr_upsample_reset,
-            opt_state["step"].astype(jnp.float32),
-            global_step.astype(jnp.float32),
+        params, opt_state = _optimizer_update(
+            params, grads, opt_state, hp, mode, global_step
         )
-        if "vel" in lr_tree:
-            lr_tree = dict(lr_tree)
-            lr_tree["vel"] = jax.tree.map(
-                lambda lr: lr * vel_scale / lr_scale, lr_tree["vel"]
-            )
-        params, opt_state = optim.apply_updates(params, grads, opt_state, lr_tree, lr_scale)
+        return params, opt_state, metrics
+
+    return train_step
+
+
+def make_train_step_shard_map(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str,
+                              H: int, W: int, focal: float, mesh,
+                              vel_pts: int | None = None,
+                              use_alpha: bool = False):
+    """Explicit-collective data-parallel step: ``shard_map`` over the 'data'
+    mesh axis, one ray/PDE sub-batch per device, gradients reduced with an
+    explicit ``jax.lax.pmean`` over ICI (the hand-written counterpart of the
+    automatic-SPMD step; SURVEY.md §2.2 / §5.8).
+
+    Each device samples its own pixels (key folded with the device index), so
+    the global batch is hp.n_rays rays made of D disjoint device sub-batches —
+    the same estimator, not bit-identical batches to the automatic step.
+    """
+    import dataclasses
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    D = int(mesh.devices.size)
+    assert hp.n_rays % D == 0, f"n_rays {hp.n_rays} not divisible by {D} devices"
+    n_pde_total = vel_pts if vel_pts is not None else hp.vel_reg_n_pts
+    shard_hp = dataclasses.replace(
+        hp, n_rays=hp.n_rays // D,
+        vel_occupied_budget=max(1, hp.vel_occupied_budget // D),
+    )
+    loss_fn = make_loss_fn(meta, shard_hp, mode, H, W, focal,
+                           max(1, n_pde_total // D), use_alpha)
+
+    def shard_body(params, key, frame_idx, key_frame_idx, global_step,
+                   poses, images, times, pool_all, pool_key, l1_base, l1_step0,
+                   alpha_state):
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            params, key, frame_idx, key_frame_idx, global_step, poses, images,
+            times, pool_all, pool_key, l1_base, l1_step0, alpha_state
+        )
+        grads = jax.lax.pmean(grads, "data")      # ICI all-reduce
+        metrics = jax.lax.pmean(metrics, "data")  # global-batch means
+        return grads, metrics
+
+    replicated = P()
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, key, frame_idx, key_frame_idx, global_step,
+                   poses, images, times, pool_all, pool_key, l1_base, l1_step0,
+                   alpha_state):
+        grads, metrics = shard_map(
+            shard_body, mesh=mesh,
+            in_specs=(replicated,) * 13, out_specs=replicated,
+            check_rep=False,
+        )(params, key, frame_idx, key_frame_idx, global_step, poses, images,
+          times, pool_all, pool_key, l1_base, l1_step0, alpha_state)
+        params, opt_state = _optimizer_update(
+            params, grads, opt_state, hp, mode, global_step
+        )
         return params, opt_state, metrics
 
     return train_step
@@ -358,11 +443,14 @@ class Trainer:
     """Stage loop + host-side schedule bookkeeping (the L6 driver)."""
 
     def __init__(self, cfg, dataset, mode: str = "static_dynamic", logdir: str | None = None,
-                 mesh=None, seed: int | None = None):
+                 mesh=None, seed: int | None = None, spmd: str = "auto"):
+        """``spmd``: 'auto' (sharding constraints; XLA inserts collectives) or
+        'shard_map' (explicit per-device shards + pmean) when ``mesh`` given."""
         self.cfg = cfg
         self.hp = TrainHP.from_cfg(cfg)
         self.mode = mode
         self.mesh = mesh
+        self.spmd = spmd
         (self.all_imgs, self.all_poses, self.all_times, self.counts,
          _, _, (self.H, self.W, self.focal)) = dataset[:7]
         self.logdir = logdir
@@ -414,12 +502,18 @@ class Trainer:
         use_alpha = bool(
             self.meta.train_occupancy_prune and self.alpha_state is not None
         )
-        key = (self.meta, vel_pts, use_alpha)
+        key = (self.meta, vel_pts, use_alpha, self.spmd)
         if key not in cache:
-            cache[key] = make_train_step(
-                self.meta, self.hp, self.mode, self.H, self.W, self.focal,
-                self.mesh, vel_pts, use_alpha=use_alpha,
-            )
+            if self.mesh is not None and self.spmd == "shard_map":
+                cache[key] = make_train_step_shard_map(
+                    self.meta, self.hp, self.mode, self.H, self.W, self.focal,
+                    self.mesh, vel_pts, use_alpha=use_alpha,
+                )
+            else:
+                cache[key] = make_train_step(
+                    self.meta, self.hp, self.mode, self.H, self.W, self.focal,
+                    self.mesh, vel_pts, use_alpha=use_alpha,
+                )
         return cache[key]
 
     def _keyframe_frames(self):

@@ -212,3 +212,22 @@ def test_turbo_occupancy_pruned_training(tiny_scene):
     assert tr.alpha_state is not None
     assert "dropped_blocks" in m
     assert np.isfinite(float(m["loss"]))
+
+
+def test_shard_map_step_trains(tiny_scene):
+    """Explicit-collective variant: shard_map over the 8-device mesh with
+    per-device ray sub-batches and pmean'd gradients learns like the
+    automatic-SPMD step."""
+    from nvfi_tpu.parallel import make_mesh
+    from nvfi_tpu.train.trainer import Trainer
+
+    cfg = small_cfg(**{"renderer.n_rays": 64, "experiment.vel_reg_n_pts": 64,
+                       "nvfi.max_n_samples": 24})
+    tr = Trainer(cfg, tiny_scene, mode="static_dynamic", mesh=make_mesh(8),
+                 spmd="shard_map")
+    logs = []
+    tr.train(iters=120, log_fn=logs.append)
+    assert np.isfinite(logs[-1]["loss"])
+    # same improvement bar as the automatic-SPMD learns-test at this budget
+    assert logs[-1]["psnr_0"] > logs[0]["psnr_0"] + 3, (
+        logs[0]["psnr_0"], logs[-1]["psnr_0"])
