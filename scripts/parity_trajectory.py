@@ -178,14 +178,14 @@ def run_ref(iters: int):
     print(f"[ref] done rc={proc.returncode} iters={len(traj) * PRINT_EVERY}")
 
 
-def run_ours(iters: int):
+def run_ours(iters: int, tpu: bool = False):
     ensure_data()
-    env_fix = {"JAX_PLATFORMS": "cpu"}
-    os.environ.update(env_fix)
-    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
-    import jax
+    if not tpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        import jax
 
-    jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_platforms", "cpu")
 
     from nvfi_tpu.config import load_config
     from nvfi_tpu.data import load_blender_data
@@ -202,12 +202,14 @@ def run_ours(iters: int):
     tr = Trainer(cfg, dataset, mode="static_dynamic")
     traj = []
 
+    out_name = "ours_tpu_traj.json" if tpu else "ours_traj.json"
+
     def log(m):
         row = {"it": m["it"], "loss": m["loss"], "psnr_0": m["psnr_0"],
                "psnr_t": m["psnr_t"], "elapsed": m["elapsed"]}
         traj.append(row)
         print(f"[ours] {row}", flush=True)
-        with open(os.path.join(OUT, "ours_traj.json"), "w") as f:
+        with open(os.path.join(OUT, out_name), "w") as f:
             json.dump(traj, f)
 
     tr.train(iters=iters, log_fn=log)
@@ -217,7 +219,10 @@ def run_ours(iters: int):
 def table():
     with open(os.path.join(OUT, "ref_traj.json")) as f:
         ref = {r["it"]: r for r in json.load(f)}
-    with open(os.path.join(OUT, "ours_traj.json")) as f:
+    src = ("ours_tpu_traj.json"
+           if os.path.exists(os.path.join(OUT, "ours_tpu_traj.json"))
+           else "ours_traj.json")
+    with open(os.path.join(OUT, src)) as f:
         ours = {r["it"]: r for r in json.load(f)}
     its = sorted(set(ref) & set(ours))
     print(f"{'iter':>6} | {'ref psnr0':>9} {'ours psnr0':>10} | "
@@ -240,8 +245,10 @@ def table():
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
-    p.add_argument("--phase", choices=["ref", "ours", "table"], required=True)
+    p.add_argument("--phase", choices=["ref", "ours", "ours_tpu", "table"],
+                   required=True)
     p.add_argument("--iters", type=int, default=300)
     a = p.parse_args()
     {"ref": lambda: run_ref(a.iters), "ours": lambda: run_ours(a.iters),
+     "ours_tpu": lambda: run_ours(a.iters, tpu=True),
      "table": table}[a.phase]()

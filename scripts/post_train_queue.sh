@@ -47,3 +47,9 @@ run python -u scripts/turbo_bench.py --scene_dir logs/synth/bat30k_r2 \
 run python -u bench.py > $LOG/bench_final.log 2>&1
 
 echo "[queue] ALL DONE at $(date)"
+
+# 7. parity trajectory "ours" on the TPU (fast; the CPU run doubles as a
+#    CPU-vs-TPU consistency check)
+run python -u scripts/parity_trajectory.py --phase ours_tpu --iters 300 \
+    > $LOG/parity_ours_tpu.log 2>&1
+echo "[queue] extended steps done at $(date)"
