@@ -69,6 +69,9 @@ def main():
     parser.add_argument("--synth_frames", type=int, default=48)
     parser.add_argument("--devices", type=int, default=0)
     parser.add_argument("--logdir", type=str, default="")
+    parser.add_argument("--resume", action="store_true",
+                        help="restore the latest checkpoint from --logdir and "
+                             "continue training in place")
     parser.add_argument("--profile", type=int, default=0,
                         help="wrap the first N train steps in a "
                              "jax.profiler trace written to <logdir>/profile")
@@ -124,8 +127,8 @@ def main():
 
     trainer = Trainer(cfg, dataset, mode=mode, logdir=logdir, mesh=mesh)
 
-    if args.checkpoint or args.not_train:
-        # resume from a numbered checkpoint, or (for eval-only runs) the latest
+    if args.checkpoint or args.not_train or args.resume:
+        # resume from a numbered checkpoint, or (for eval-only/--resume) the latest
         base = os.path.dirname(logdir) if args.checkpoint and logdir.endswith("from_checkpoint") else logdir
         path = ckpt_mod.find_checkpoint(base, args.checkpoint or -1)
         if path:
