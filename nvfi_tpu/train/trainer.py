@@ -564,6 +564,11 @@ class Trainer:
                 jnp.float32(self.l1_base), jnp.float32(self.l1_step0),
                 self.alpha_state if self.alpha_state is not None else jnp.zeros(()),
             )
+            # advance BEFORE stage events/saves: a checkpoint written below
+            # holds the state after completing iteration `it` (incl. any stage
+            # transition at `it`), so resume must continue at it+1 — otherwise
+            # the upsample event re-fires on an already-consumed schedule.
+            self.global_step = it + 1
 
             if pbar is not None:
                 pbar.update(1)
@@ -619,8 +624,6 @@ class Trainer:
 
             if self.logdir and ((it != 0 and it % hp.save_every == 0) or it == iters - 1):
                 self.save(os.path.join(self.logdir, f"model_{it:05d}"), opt_state)
-
-            self.global_step = it + 1
 
         if pbar is not None:
             pbar.close()
