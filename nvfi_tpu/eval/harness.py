@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import os
 
-import jax
 import numpy as np
 
 from ..fields import kplane
