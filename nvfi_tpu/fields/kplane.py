@@ -147,6 +147,21 @@ class KPlaneMeta:
         """Static RK2 step bound for a full [0, tmax] offset (transfer path)."""
         return max(1, int(math.ceil(self.tmax / self.dt_max - 1e-9)))
 
+    @property
+    def render_adv_steps(self) -> int:
+        """Static RK2 step bound for EVAL renders at any t in [0, 1].
+
+        During training |offset| <= dt_max after keyframe snapping, so one
+        step is exact.  Beyond tmax the snap clamps to the LAST keyframe
+        (reference :651-654) and the offset grows to 1 - tmax — the
+        reference's data-dependent while loop (:591-609) takes
+        ceil((1 - tmax)/dt_max) steps there; a single step silently freezes
+        extrapolated geometry near the last keyframe.
+        """
+        if self.num_keyframes <= 1 or self.tmax <= 0:
+            return 1
+        return max(1, int(math.ceil((1.0 - self.tmax) / self.dt_max - 1e-9)) + 1)
+
 
 def meta_from_cfg(nvfi_cfg, aabb, grid_size, near_far) -> KPlaneMeta:
     """Build meta from a reference-schema ``cfg.nvfi`` block."""
@@ -633,7 +648,14 @@ def render_rays(
 
     def density_pass(cp, xyz, t, base_times):
         if meta.use_vel and advect:
-            n_steps = meta.max_adv_steps if transfer_vel else 1
+            # training times satisfy |t - base| <= dt_max (one exact step);
+            # eval may extrapolate past tmax and needs the full static bound
+            if transfer_vel:
+                n_steps = meta.max_adv_steps
+            elif training:
+                n_steps = 1
+            else:
+                n_steps = meta.render_adv_steps
             advected = integrate_pos(cp, meta, xyz, t, base_times, n_steps=n_steps)
             is_key = jnp.isclose(t, base_times)
             xyz_eval = jnp.where(is_key, xyz, advected)
@@ -812,7 +834,9 @@ def compute_dense_alpha(params, meta: KPlaneMeta, grid_size: tuple, transfer: bo
             base = jnp.zeros_like(t)
         else:
             base = snap_to_keyframe(meta, t)
-        n_steps = meta.max_adv_steps if transfer else 1
+        # the dense sweep covers t in [0,1): past tmax the offset exceeds
+        # dt_max, so use the eval-time step bound (reference while-loop)
+        n_steps = meta.max_adv_steps if transfer else meta.render_adv_steps
         prev = integrate_pos(params, meta, xyz_c, t, base, n_steps=n_steps)
         xyzt = jnp.concatenate([prev, normalize_time(meta, base)], axis=-1)
         feat = density_feature(params, meta, xyzt)

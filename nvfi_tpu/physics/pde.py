@@ -43,7 +43,11 @@ def occupancy_mask(params, meta: kplane.KPlaneMeta, xyz_norm, t):
     hardcoded ``1 - exp(-sigma * 0.01 * 25)`` proxy opacity.
     """
     base = kplane.snap_to_keyframe(meta, t)
-    prev = kplane.integrate_pos(params, meta, xyz_norm, t, base, n_steps=1)
+    # t is sampled in [0, 1): for t past tmax the snapped offset exceeds
+    # dt_max, and the reference advects it fully (integrate_pos while-loop,
+    # models/nvfi.py:57) — use the static eval-time bound
+    prev = kplane.integrate_pos(params, meta, xyz_norm, t, base,
+                                n_steps=meta.render_adv_steps)
     xyzt = jnp.concatenate([prev, kplane.normalize_time(meta, base)], axis=-1)
     feat = kplane.density_feature(params, meta, xyzt)
     sigma = kplane.feature2density(meta, feat, None)

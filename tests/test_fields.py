@@ -166,3 +166,33 @@ def test_upsample_preserves_function_at_corners():
     a = np.asarray(params["planes_space"][0])
     b = np.asarray(p2["planes_space"][0])
     np.testing.assert_allclose(b[::2, ::2], a, rtol=1e-5, atol=1e-6)
+
+
+def test_extrapolation_advection_covers_past_tmax():
+    """For t beyond tmax the keyframe snap clamps to the LAST keyframe and the
+    offset grows to (1 - tmax) >> dt_max; the eval-time step bound
+    (meta.render_adv_steps) must integrate it fully — a single RK2 step (the
+    training bound) silently truncates the motion (reference integrate_pos
+    while-loop, tensorf_keyframe.py:591-609)."""
+    meta = tiny_meta(vel_gate=vel_mod.VelGate("aabb", eps=0.0))
+    params = kplane.init_params(jax.random.PRNGKey(0), meta)
+    c = 0.8
+    params = constant_weight_velocity(params, [c, 0, 0, 0, 0, 0])
+
+    xyz = jnp.array([[0.1, 0.2, -0.3]], jnp.float32)
+    t = jnp.full((1, 1), 1.0, jnp.float32)
+    base = kplane.snap_to_keyframe(meta, t)  # clamps to tmax = 0.75
+    np.testing.assert_allclose(np.asarray(base), 0.75)
+
+    assert meta.render_adv_steps >= int(np.ceil(0.25 / meta.dt_max))
+    adv = kplane.integrate_pos(params, meta, xyz, t, base,
+                               n_steps=meta.render_adv_steps)
+    expect = np.asarray(xyz) - 0.25 * np.array([c, 0, 0])
+    np.testing.assert_allclose(np.asarray(adv), expect, atol=1e-5)
+
+    # the single-step (training) bound must NOT be used past tmax: it only
+    # covers dt_max of the 0.25 offset
+    adv1 = kplane.integrate_pos(params, meta, xyz, t, base, n_steps=1)
+    np.testing.assert_allclose(
+        np.asarray(adv1), np.asarray(xyz) - meta.dt_max * np.array([c, 0, 0]),
+        atol=1e-5)
