@@ -56,11 +56,19 @@ def occupancy_mask(params, meta: kplane.KPlaneMeta, xyz_norm, t):
 
 
 def vel_pde_loss(params, meta: kplane.KPlaneMeta, key, n_pts: int,
-                 chunk: int = 32768, occupied_budget: int | None = None):
+                 chunk: int = 32768, occupied_budget: int | None = None,
+                 alpha_state: dict | None = None):
     """Divergence-free + transport-equation loss over occupied samples.
 
     Jacobian points are processed in rematerialized ``lax.scan`` chunks so the
     second-order graph keeps only O(chunk) activations in HBM.
+
+    ``alpha_state``: turbo-mode shortcut — filter by the precomputed
+    time-maxed occupancy volume (one trilinear lookup) instead of the
+    reference's advect-then-evaluate-density filter (11 RK2 sweeps + a
+    density pass for t past tmax).  The mask is the union of per-time
+    occupancy, so it keeps a superset of the reference's points; quality
+    parity is checked end-to-end by scripts/turbo_quality.py.
     """
     k_x, k_t, k_sel = jax.random.split(key, 3)
     a = meta.aabb_np
@@ -68,7 +76,12 @@ def vel_pde_loss(params, meta: kplane.KPlaneMeta, key, n_pts: int,
     xyz = kplane.normalize_coord(meta, pts)
     t = jax.random.uniform(k_t, (n_pts, 1))
 
-    mask = occupancy_mask(params, meta, xyz, t).astype(jnp.float32)
+    if alpha_state is not None:
+        mask = jax.lax.stop_gradient(
+            (kplane.sample_alpha(alpha_state, xyz) > 0).astype(jnp.float32)
+        )
+    else:
+        mask = occupancy_mask(params, meta, xyz, t).astype(jnp.float32)
 
     if occupied_budget is not None and occupied_budget < n_pts:
         # uniform subsample among occupied: occupied score in [1,2),

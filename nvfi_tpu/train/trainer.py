@@ -307,7 +307,10 @@ def make_loss_fn(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str, H: int, W: int
 
         if use_pde:
             budget = min(hp.vel_occupied_budget, n_pde)
-            pde = vel_pde_loss(params, meta, keys[2], n_pde, occupied_budget=budget)
+            pde = vel_pde_loss(
+                params, meta, keys[2], n_pde, occupied_budget=budget,
+                alpha_state=alpha_state if use_alpha else None,
+            )
             loss = loss + hp.vel_reg_weight * reg_scale * pde
             metrics["vel_pde"] = pde
 

@@ -72,8 +72,10 @@ def main():
 
     def time_trainer(turbo: bool):
         tr = Trainer(cfg, ds7, mode="static_dynamic")
-        # adopt the trained state at the bench model scale
-        tr.params = {k: v for k, v in params.items()}
+        # adopt the trained state at the bench model scale; deep-copy because
+        # the jitted step donates its params argument (the first timed run
+        # would delete the shared checkpoint arrays)
+        tr.params = jax.tree.map(jnp.array, params)
         tr.meta = replace(
             meta, compute_dtype="bfloat16",
             train_occupancy_prune=turbo,

@@ -69,7 +69,10 @@ def main():
     results = {}
     for label, turbo in (("dense", False), ("turbo", True)):
         tr = Trainer(cfg, dataset[:7], mode="static_dynamic")
-        tr.params = jax.tree.map(jnp.asarray, base_params)
+        # deep copies: the jitted step donates params/opt_state (jnp.asarray
+        # would alias the shared checkpoint arrays and the dense leg would
+        # delete them)
+        tr.params = jax.tree.map(jnp.array, base_params)
         tr.meta = replace(
             base_meta, compute_dtype="bfloat16",
             train_occupancy_prune=turbo,
@@ -77,7 +80,7 @@ def main():
         )
         tr.alpha_state = alpha_state if turbo else None
         if base_opt is not None:
-            tr.opt_state = jax.tree.map(jnp.asarray, base_opt)
+            tr.opt_state = jax.tree.map(jnp.array, base_opt)
         tr.global_step = start
         tr.n_voxel_list, tr.keyframe_list = [], []
         tr._step_cache = {}
