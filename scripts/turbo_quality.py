@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--scene_dir", required=True)
     ap.add_argument("--iters", type=int, default=800)
     ap.add_argument("--budget", type=float, default=0.35)
+    ap.add_argument("--shade_frac", type=float, default=0.08,
+                    help="turbo-leg top-K shade budget (converged scenes have "
+                         "~1-2%% of samples above the weight threshold)")
     ap.add_argument("--res", type=int, default=128)
     ap.add_argument("--config", default="configs/synth/bat.yaml")
     args = ap.parse_args()
@@ -77,6 +80,7 @@ def main():
             base_meta, compute_dtype="bfloat16",
             train_occupancy_prune=turbo,
             block_budget=args.budget if turbo else 1.0,
+            shade_fraction=args.shade_frac if turbo else base_meta.shade_fraction,
         )
         tr.alpha_state = alpha_state if turbo else None
         if base_opt is not None:
