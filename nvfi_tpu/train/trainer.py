@@ -75,6 +75,12 @@ class TrainHP:
     vel_reg_n_pts: int = 262144
     vel_occupied_budget: int = 32768  # second-order Jacobian point budget
     # (uniform subsample of occupied candidates; see physics/pde.py)
+    pde_mask_filter: bool = False  # turbo-only: filter PDE points by the
+    # alpha volume (1 lookup) instead of the reference's advected-density
+    # filter (11 RK2 sweeps at 262k pts, ~100 ms/step at bat scale).
+    # Measured trade-off on the converged bat scene: ~-0.4 dB test PSNR after
+    # a 600-iter continuation (the time-maxed mask keeps a superset of
+    # points, diluting the PDE loss) — default OFF; see logs/turbo_quality*.log
     upsamp_list: tuple = (2000, 4000, 6000, 8000, 10000)
     update_alphamask_list: tuple = ()
     n_voxel_init: int = 262144
@@ -115,6 +121,7 @@ class TrainHP:
             vel_reg_weight=float(e.vel_reg_weight),
             vel_reg_n_pts=int(e.vel_reg_n_pts),
             vel_occupied_budget=int(e.get("vel_occupied_budget", 32768)),
+            pde_mask_filter=bool(e.get("pde_mask_filter", False)),
             upsamp_list=tuple(cfg.nvfi.upsamp_list),
             update_alphamask_list=tuple(cfg.nvfi.update_AlphaMask_list),
             n_voxel_init=int(cfg.nvfi.N_voxel_init),
@@ -309,7 +316,7 @@ def make_loss_fn(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str, H: int, W: int
             budget = min(hp.vel_occupied_budget, n_pde)
             pde = vel_pde_loss(
                 params, meta, keys[2], n_pde, occupied_budget=budget,
-                alpha_state=alpha_state if use_alpha else None,
+                alpha_state=alpha_state if (use_alpha and hp.pde_mask_filter) else None,
             )
             loss = loss + hp.vel_reg_weight * reg_scale * pde
             metrics["vel_pde"] = pde

@@ -45,6 +45,7 @@ def main():
     from nvfi_tpu.train.trainer import Trainer
 
     cfg = load_config(args.config)
+    cfg.experiment.pde_mask_filter = 1  # fastest turbo variant; see TrainHP
     cfg.nvfi.compute_dtype = "bfloat16"
     cfg.renderer.batch_size = 262144
     cfg.experiment.validate_every = 10**9
