@@ -20,7 +20,6 @@ import sys
 import time
 from dataclasses import replace
 
-import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
