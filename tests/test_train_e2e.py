@@ -231,3 +231,28 @@ def test_shard_map_step_trains(tiny_scene):
     # same improvement bar as the automatic-SPMD learns-test at this budget
     assert logs[-1]["psnr_0"] > logs[0]["psnr_0"] + 3, (
         logs[0]["psnr_0"], logs[-1]["psnr_0"])
+
+
+def test_checkpoint_resume_across_stage_boundary(tiny_scene, tmp_path):
+    """Regression: a checkpoint saved AT a stage-event iteration holds the
+    post-event state and must resume at it+1 — resuming used to re-fire the
+    upsample on an already-consumed schedule (IndexError)."""
+    from nvfi_tpu.train.trainer import Trainer
+
+    kw = {"renderer.n_rays": 64, "experiment.vel_reg_n_pts": 64,
+          "nvfi.max_n_samples": 24, "nvfi.upsamp_list": [2],
+          "experiment.save_every": 2, "nvfi.N_voxel_final": 32768}
+    cfg = small_cfg(**kw)
+    tr = Trainer(cfg, tiny_scene, mode="static_dynamic", logdir=str(tmp_path))
+    tr.train(iters=3)  # save fires at it=2, right after the upsample event
+    assert (tmp_path / "model_00002.npz").exists()
+    assert tr.n_voxel_list == []
+
+    tr2 = Trainer(cfg, tiny_scene, mode="static_dynamic", logdir=str(tmp_path))
+    from nvfi_tpu.train import checkpoint as ck
+    tr2.restore(ck.find_checkpoint(str(tmp_path), -1))
+    assert tr2.global_step == 3  # it+1: does not re-enter the event iteration
+    assert tr2.n_voxel_list == []
+    m = tr2.train(iters=5)  # would IndexError before the fix
+    assert np.isfinite(float(m["loss"]))
+    assert tr2.meta.grid_size == tr.meta.grid_size
