@@ -27,6 +27,7 @@ def save_png(path: str, img: np.ndarray):
 def save_gif_time_sweep(
     params, meta: kplane.KPlaneMeta, dataset, path: str, *, white_bg: bool,
     n_frames: int = 16, view: int = 0, max_res: int = 128, chunk: int = 8192,
+    transfer_vel: bool = False, alpha_state=None,
 ):
     """Render a fixed val/test pose swept over t in [0, 1] and save a GIF
     (the reference's wandb video panel, train_nvfi.py:311-324).
@@ -46,7 +47,8 @@ def save_gif_time_sweep(
         out = render_image(
             params, meta, float(t),
             cam.rays_o.reshape(Hs, Ws, 3), cam.rays_d.reshape(Hs, Ws, 3),
-            white_bg=white_bg, chunk=chunk,
+            white_bg=white_bg, chunk=chunk, transfer_vel=transfer_vel,
+            alpha_state=alpha_state,
         )
         frames.append(out["rgb"])
     frames = np.stack(frames)
@@ -69,21 +71,31 @@ def render_split(
     mask_params=None,
     alpha_grid: int = 200,
     max_views: int = 0,
+    sparse_budget: float | None = None,
 ):
-    """Render all views of a split; returns (preds (N,H,W,3), metrics dict)."""
+    """Render all views of a split; returns (preds (N,H,W,3), metrics dict).
+
+    ``sparse_budget``: block-sparse budget for the eval renders. None (the
+    default) auto-enables a generous 0.5 budget when an alpha mask is active
+    (most 64-sample blocks are empty, so the sparse path is a pure speedup);
+    pass 0 to force the dense exact path.  Either way exactness is ENFORCED:
+    any render that drops an active block or an above-threshold shade sample
+    raises instead of feeding an inexact image into the metric tables.
+    """
     all_imgs, all_poses, all_times, counts, _, _, (H, W, focal) = dataset[:7]
     if update_alpha and alpha_state is None:
         alpha_state, _ = kplane.update_alpha_mask(
             params, meta, tuple(min(g, alpha_grid) for g in meta.grid_size),
             transfer=transfer_vel,
         )
-    if alpha_state is not None and not (0.0 < meta.block_budget < 1.0):
-        # with occupancy pruning active, most 64-sample blocks are empty —
-        # run the eval renders block-sparse with a generous budget (exact as
-        # long as no active block is dropped; render_image asserts that)
+    if not (0.0 < meta.block_budget < 1.0):
         from dataclasses import replace
 
-        meta = replace(meta, block_budget=0.5)
+        if sparse_budget:
+            meta = replace(meta, block_budget=float(sparse_budget))
+        elif (sparse_budget is None and alpha_state is not None
+              and meta.ray_sampling == "box"):
+            meta = replace(meta, block_budget=0.5)
     if savedir:
         os.makedirs(savedir, exist_ok=True)
 
@@ -100,6 +112,13 @@ def render_split(
             white_bg=white_bg, transfer_vel=transfer_vel, alpha_state=alpha_state,
             chunk=chunk, mask_params=mask_params,
         )
+        if out.get("dropped", 0.0) > 0:
+            raise RuntimeError(
+                f"inexact eval render (view {idx}): {int(out['dropped'])} "
+                f"active blocks/shade samples dropped at block_budget="
+                f"{meta.block_budget}, shade_fraction={meta.shade_fraction}; "
+                "raise the budget or pass sparse_budget=0 for the dense path"
+            )
         preds.append(out["rgb"])
         if savedir:
             save_png(os.path.join(savedir, f"r_{idx:03d}.png"), out["rgb"])

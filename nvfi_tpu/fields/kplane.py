@@ -28,6 +28,7 @@ model is rebuilt for XLA:
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass, field, replace
 
@@ -92,6 +93,15 @@ class KPlaneMeta:
     ray_sampling: str = "box"  # 'box' | 'ndc' | 'contracted' (reference
     # forward :613-639 chooses between sample_ray / sample_ray_ndc /
     # sample_ray_contracted)
+    parity_sampling: bool = False  # reproduce the reference's LITERAL
+    # ray-start rule (tensorf_base.py:294-300): `((aabb[0] <= rays_o) &
+    # (rays_o <= aabb[1])).any()` — ANY single coordinate of ANY origin
+    # inside its per-axis range makes ALL rays start at `near` (true for
+    # essentially every real camera pose).  Default False: this repo starts
+    # each ray at its aabb entry instead — a deliberate divergence (no
+    # samples wasted before the box; the same n_samples covers the chord
+    # more densely).  Enable for bit-faithful parity runs.  Pinned by
+    # tests/test_sampling.py::test_ray_start_semantics.
     shade_fraction: float = 0.25  # static top-K shading budget as a fraction
     # of N*S samples; <=0 or >=1 shades densely.  With the reference's
     # rayMarch_weight_thres=1e-4 far fewer than 25% of samples pass the mask,
@@ -144,8 +154,18 @@ class KPlaneMeta:
 
     @property
     def max_adv_steps(self) -> int:
-        """Static RK2 step bound for a full [0, tmax] offset (transfer path)."""
+        """Static RK2 step bound for a full [0, tmax] offset."""
         return max(1, int(math.ceil(self.tmax / self.dt_max - 1e-9)))
+
+    @property
+    def transfer_adv_steps(self) -> int:
+        """Static RK2 step bound for the transfer path, which advects ALL
+        samples from t back to the canonical t=0 frame (reference
+        tensorf_keyframe.py:647-649) — test times reach t=1 > tmax, so the
+        bound must cover the full [0, 1] offset (the reference's while-loop
+        runs ceil(t/dt_max) iterations there; a [0, tmax] bound silently
+        truncates the graft's motion past tmax)."""
+        return max(1, int(math.ceil(1.0 / self.dt_max - 1e-9)))
 
     @property
     def render_adv_steps(self) -> int:
@@ -161,6 +181,26 @@ class KPlaneMeta:
         if self.num_keyframes <= 1 or self.tmax <= 0:
             return 1
         return max(1, int(math.ceil((1.0 - self.tmax) / self.dt_max - 1e-9)) + 1)
+
+
+def render_steps_for_time(meta: KPlaneMeta, t: float, transfer: bool = False) -> int:
+    """Exact static RK2 step count for an eval render at a HOST-known time t.
+
+    The batch-wide bounds (``render_adv_steps`` / ``transfer_adv_steps``)
+    cover any t in [0, 1]; when the caller knows the concrete time of the
+    image being rendered, most of those scan iterations are dt=0 no-ops —
+    e.g. every interpolation-time render (t <= tmax) needs exactly ONE step
+    after keyframe snapping.  Extra steps are mathematically no-ops (dt
+    clamps to the remaining offset, then to 0), so specializing is exact.
+    """
+    if not meta.use_vel or meta.num_keyframes <= 1:
+        return 1
+    if transfer:
+        # offset is the full t (advect back to the canonical t=0 frame)
+        return max(1, int(math.ceil(float(t) / meta.dt_max - 1e-9)))
+    if float(t) <= meta.tmax + 1e-6:
+        return 1  # |t - snap(t)| <= dt_max inside the training window
+    return max(1, int(math.ceil((float(t) - meta.tmax) / meta.dt_max - 1e-9)) + 1)
 
 
 def meta_from_cfg(nvfi_cfg, aabb, grid_size, near_far) -> KPlaneMeta:
@@ -209,7 +249,9 @@ def meta_from_cfg(nvfi_cfg, aabb, grid_size, near_far) -> KPlaneMeta:
         ray_sampling=(
             "contracted" if nvfi_cfg.get("contract_ray", False) else "box"
         ),
+        parity_sampling=bool(nvfi_cfg.get("parity_sampling", False)),
         block_budget=float(nvfi_cfg.get("block_budget", 1.0)),
+        shade_fraction=float(nvfi_cfg.get("shade_fraction", 0.25)),
     )
 
 
@@ -528,8 +570,16 @@ def sample_ray(meta: KPlaneMeta, rays_o, rays_d, n_samples: int, training: bool,
     """
     a = meta.aabb_np
     near, far = meta.near_far
-    # batch-wide switch: any origin inside the box => start at `near`
-    inside_any = jnp.any(jnp.all((rays_o >= a[0]) & (rays_o <= a[1]), axis=-1))
+    if meta.parity_sampling:
+        # the reference's literal elementwise .any() (tensorf_base.py:294):
+        # any coordinate of any origin within its per-axis range => ALL rays
+        # start at `near`
+        inside_any = jnp.any((rays_o >= a[0]) & (rays_o <= a[1]))
+    else:
+        # batch-wide switch: a fully-inside origin => start at `near`;
+        # otherwise each ray starts at its own aabb entry (deliberate
+        # divergence, see KPlaneMeta.parity_sampling)
+        inside_any = jnp.any(jnp.all((rays_o >= a[0]) & (rays_o <= a[1]), axis=-1))
     vec = jnp.where(rays_d == 0, 1e-6, rays_d)
     rate_a = (a[1] - rays_o) / vec
     rate_b = (a[0] - rays_o) / vec
@@ -564,6 +614,7 @@ def render_rays(
     n_samples: int | None = None,
     mask_params=None,
     advect: bool = True,
+    adv_steps: int | None = None,
 ):
     """Render a batch of rays at time(s) t.
 
@@ -576,6 +627,9 @@ def render_rays(
       advect: statically disable RK2 advection — valid ONLY when every t in
         the batch is exactly a keyframe time (the advected result would be
         discarded by the is_key mask anyway); saves two velocity-MLP sweeps.
+      adv_steps: static RK2 step-count override (see render_steps_for_time);
+        callers that know the batch's concrete time pass the exact count
+        instead of the conservative full-[0,1] bound.
 
     Returns dict with rgb (N,3), depth (N,), acc (N,), weight (N,S),
     mask (N, mask_dim or 3).
@@ -584,6 +638,15 @@ def render_rays(
         n_samples = meta.n_samples
     SB = 64  # sample-block size for the block-sparse sample axis
     sparse = 0.0 < meta.block_budget < 1.0
+    if sparse and meta.ray_sampling != "box":
+        # ndc/contracted sample positions depend on n_samples (linspace /
+        # inner-outer split), so padding the axis to whole blocks would SHIFT
+        # every sample — the dense-equivalence guarantee only holds for box
+        # sampling's fixed step_size (advisor round-2 finding).
+        raise ValueError(
+            "block_budget < 1 requires ray_sampling == 'box' "
+            f"(got {meta.ray_sampling!r})"
+        )
     orig_n_samples = n_samples
     if sparse:
         # round the sample axis up to whole blocks; the padded samples are
@@ -631,7 +694,7 @@ def render_rays(
     # samples — a TPU-native throughput mode justified by matched quality,
     # not a parity default.  Feeds the block-sparse selection below.
     if alpha_state is not None and (not training or meta.train_occupancy_prune):
-        alphas = sample_alpha(alpha_state, xyz)
+        alphas = sample_alpha(alpha_state, xyz, meta)
         valid = valid & (alphas > 0)
 
     # Two-pass evaluation (the fixed-shape analogue of the reference's
@@ -650,8 +713,10 @@ def render_rays(
         if meta.use_vel and advect:
             # training times satisfy |t - base| <= dt_max (one exact step);
             # eval may extrapolate past tmax and needs the full static bound
-            if transfer_vel:
-                n_steps = meta.max_adv_steps
+            if adv_steps is not None:
+                n_steps = adv_steps
+            elif transfer_vel:
+                n_steps = meta.transfer_adv_steps
             elif training:
                 n_steps = 1
             else:
@@ -716,19 +781,35 @@ def render_rays(
     use_topk = 0.0 < frac < 1.0 and total_real > 512
     shader = make_shader(meta.shading_mode, meta.view_pe, meta.pos_pe, meta.fea_pe)
 
+    dropped_shade = jnp.zeros(())
     if use_topk:
-        K = min(total, max(128, (int(total_real * frac) + 127) // 128 * 128))
-        score = jnp.where(app_mask, weight, 0.0).reshape(-1)
-        sel = jax.lax.stop_gradient(
-            jnp.argsort(-score)[:K]
-        )
-        ray_id = sel // S
-        xyz_sel = xyz_eval.reshape(-1, 3)[sel]
-        view_sel = viewdirs.reshape(-1, 3)[sel]
-        bt_sel = base_times.reshape(-1)[sel]
+        # PER-RAY top-k selection (round 3): each ray shades its k highest-
+        # weight samples above the march threshold.  Compared to the earlier
+        # global argsort over N*S scores this (a) sorts 686-length rows
+        # instead of one 5.6M-element array, (b) gathers row-locally, and
+        # (c) composites with a plain axis-sum instead of a scatter-add.
+        # Exactness is the same contract as the reference's app_mask
+        # compaction (tensorf_keyframe.py:719-735): any sample above
+        # rayMarch_weight_thres beyond the per-ray budget is dropped, and the
+        # 'dropped_shade' counter reports exactly how many (0 in practice —
+        # per-ray surviving samples are far below k at the default 25%).
+        K = min(S, max(16, (int(orig_n_samples * frac) + 7) // 8 * 8))
+        score = jnp.where(app_mask, weight, 0.0)  # == weight * app_mask
+        w_top, sel = jax.lax.top_k(score, K)  # (N, K)
+        sel = jax.lax.stop_gradient(sel)
+        dropped_shade = (
+            jnp.sum(app_mask) - jnp.sum(w_top > meta.raymarch_weight_thres)
+        ).astype(jnp.float32)
+
+        def take_vec(x):  # (N, S, 3) -> (N, K, 3)
+            return jnp.take_along_axis(x, sel[..., None], axis=1)
+
+        xyz_sel = take_vec(xyz_eval)
+        view_sel = take_vec(viewdirs)
+        bt_sel = jnp.take_along_axis(base_times[..., 0], sel, axis=1)
         aux_sel = {
-            "times": t.reshape(-1)[sel],
-            "time_offset": time_offset.reshape(-1)[sel],
+            "times": jnp.take_along_axis(t[..., 0], sel, axis=1),
+            "time_offset": jnp.take_along_axis(time_offset[..., 0], sel, axis=1),
         }
 
         def shade_pass(cp, xyz_sel, bt_sel, view_sel, aux_sel):
@@ -740,8 +821,7 @@ def render_rays(
 
         shade_pass = jax.checkpoint(shade_pass)
         rgb_sel = shade_pass(cp, xyz_sel, bt_sel, view_sel, aux_sel)
-        w_sel = weight.reshape(-1)[sel] * app_mask.reshape(-1)[sel]
-        rgb = jnp.zeros((N, 3), jnp.float32).at[ray_id].add(w_sel[:, None] * rgb_sel)
+        rgb = jnp.sum(w_top[..., None] * rgb_sel, axis=1)
     else:
 
         def shade_dense(cp, xyz_eval, base_times, viewdirs):
@@ -771,10 +851,8 @@ def render_rays(
     # optional segmentation head composited along the ray (reference :749-755)
     if meta.mask_dim > 0 and mask_params is not None:
         if use_topk:
-            m_sel = mask_mod.apply(mask_params, xyz_sel)
-            mask_map = jnp.zeros((N, meta.mask_dim), jnp.float32).at[ray_id].add(
-                w_sel[:, None] * m_sel
-            )
+            m_sel = mask_mod.apply(mask_params, xyz_sel)  # (N, K, mask_dim)
+            mask_map = jnp.sum(w_top[..., None] * m_sel, axis=1)
         else:
             m = mask_mod.apply(mask_params, xyz_eval)
             m = jnp.where(app_mask[..., None], m, 0.0)
@@ -792,6 +870,9 @@ def render_rays(
         # active sample-blocks that exceeded the block_budget (0 when dense
         # or when the budget covered every active block — i.e. exact math)
         "dropped_blocks": dropped,
+        # above-threshold samples truncated by the per-ray shade budget
+        # (0 => the top-K shade pass reproduced app_mask compaction exactly)
+        "dropped_shade": dropped_shade,
     }
 
 
@@ -799,11 +880,21 @@ def render_rays(
 # Alpha mask (occupancy grid)
 # ---------------------------------------------------------------------------
 
-def sample_alpha(alpha_state: dict, xyz_norm):
-    """Trilinear occupancy lookup at normalized coords, with re-normalization
-    into the alpha volume's own aabb (reference AlphaGridMask :417-442 —
-    callers pass coords already normalized to the *model* aabb; the reference
-    skips re-normalization because mask aabb == model aabb at creation time)."""
+def sample_alpha(alpha_state: dict, xyz_norm, meta: KPlaneMeta | None = None):
+    """Trilinear occupancy lookup (reference AlphaGridMask :417-442).
+
+    ``xyz_norm`` is normalized to the MODEL aabb.  When ``meta`` is given the
+    coords are re-normalized into the alpha volume's own stored aabb — exactly
+    what the reference's AlphaGridMask does with ``alpha_aabb`` internally.
+    This matters whenever the model aabb has moved since the mask was built:
+    the trainer shrinks the aabb right AFTER building the mask at each
+    alpha-mask stage event, so training-time occupancy lookups (turbo pruning,
+    PDE mask filter) MUST re-normalize.  Without ``meta`` the two aabbs are
+    assumed identical (the eval path, which builds a fresh mask)."""
+    if meta is not None:
+        world = denormalize_coord(meta, xyz_norm)
+        a = alpha_state["aabb"]
+        xyz_norm = (world - a[0]) * 2.0 / (a[1] - a[0]) - 1.0
     return grid_sample_3d(alpha_state["volume"], xyz_norm)
 
 
@@ -827,16 +918,18 @@ def compute_dense_alpha(params, meta: KPlaneMeta, grid_size: tuple, transfer: bo
     total = flat.shape[0]
     chunk = min(chunk, total)
 
-    @jax.jit
-    def alpha_chunk(params, xyz_c, tval):
+    # Two step-count specializations (static n_steps => 2 compiles, not 60):
+    # times inside the training window need ONE RK2 step after keyframe
+    # snapping; only t > tmax needs the full extrapolation bound.  The
+    # transfer sweep advects from t all the way to 0 and uses the [0,1] bound
+    # (the reference's data-dependent while-loop, tensorf_keyframe.py:591-609).
+    @functools.partial(jax.jit, static_argnames=("n_steps",))
+    def alpha_chunk(params, xyz_c, tval, *, n_steps):
         t = jnp.full((xyz_c.shape[0], 1), tval, dtype=jnp.float32)
         if transfer:
             base = jnp.zeros_like(t)
         else:
             base = snap_to_keyframe(meta, t)
-        # the dense sweep covers t in [0,1): past tmax the offset exceeds
-        # dt_max, so use the eval-time step bound (reference while-loop)
-        n_steps = meta.max_adv_steps if transfer else meta.render_adv_steps
         prev = integrate_pos(params, meta, xyz_c, t, base, n_steps=n_steps)
         xyzt = jnp.concatenate([prev, normalize_time(meta, base)], axis=-1)
         feat = density_feature(params, meta, xyzt)
@@ -850,9 +943,16 @@ def compute_dense_alpha(params, meta: KPlaneMeta, grid_size: tuple, transfer: bo
 
     alpha = [jnp.zeros((chunk,), jnp.float32) for _ in range(n_chunks)]
     for i in range(n_times):
-        tval = jnp.float32(i / n_times)
+        tval = i / n_times
+        if transfer:
+            n_steps = meta.transfer_adv_steps
+        else:
+            n_steps = 1 if tval <= meta.tmax + 1e-6 else meta.render_adv_steps
         for c in range(n_chunks):
-            alpha[c] = jnp.maximum(alpha[c], alpha_chunk(params, chunks[c], tval))
+            alpha[c] = jnp.maximum(
+                alpha[c],
+                alpha_chunk(params, chunks[c], jnp.float32(tval), n_steps=n_steps),
+            )
     alpha = np.concatenate([np.asarray(x) for x in alpha])
     if pad:
         alpha = alpha[:-pad]

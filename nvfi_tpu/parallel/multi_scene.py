@@ -72,7 +72,7 @@ class MultiSceneTrainer:
             half = (boxes[:, 1] - boxes[:, 0]).max(axis=0) / 2.0  # per-axis max
             aabb = np.stack([-half, half])
             datasets = [
-                self._translate_dataset(d, self.scene_offsets[i], split)
+                self._translate_dataset(d, self.scene_offsets[i])
                 for i, d in enumerate(datasets)
             ]
         else:
@@ -169,16 +169,22 @@ class MultiSceneTrainer:
         return metrics
 
     @staticmethod
-    def _translate_dataset(dataset, offset, split):
-        """Shift every camera of ``split`` by -offset (world -> canonical)."""
+    def _translate_dataset(dataset, offset):
+        """Shift every camera of EVERY split by -offset (world -> canonical).
+
+        The offset is a property of the scene, not of a split: translating
+        only the train cameras would leave val/test poses in world
+        coordinates, silently rendering wrong views against the canonical-
+        frame scene params (advisor round-2 finding)."""
         imgs, poses, times, counts = dataset[0], dataset[1], dataset[2], dataset[3]
-        new_poses = dict(poses)
-        shifted = []
-        for p in poses[split]:
-            p = np.array(p, np.float32).copy()
-            p[:3, 3] -= offset
-            shifted.append(p)
-        new_poses = {**poses, split: shifted}
+        new_poses = {}
+        for split, plist in poses.items():
+            shifted = []
+            for p in plist:
+                p = np.array(p, np.float32).copy()
+                p[:3, 3] -= offset
+                shifted.append(p)
+            new_poses[split] = shifted
         return (imgs, new_poses, times, counts) + tuple(dataset[4:])
 
     def scene_offset(self, i: int) -> np.ndarray:

@@ -36,7 +36,8 @@ from ..fields import kplane
 from ..fields import velocity as vel_mod
 
 
-def occupancy_mask(params, meta: kplane.KPlaneMeta, xyz_norm, t):
+def occupancy_mask(params, meta: kplane.KPlaneMeta, xyz_norm, t,
+                   n_steps: int | None = None):
     """Density-based point filter (reference models/nvfi.py:50-64), grad-stopped.
 
     Returns (N,) boolean: alpha >= alphaMask_thres with the reference's
@@ -45,9 +46,12 @@ def occupancy_mask(params, meta: kplane.KPlaneMeta, xyz_norm, t):
     base = kplane.snap_to_keyframe(meta, t)
     # t is sampled in [0, 1): for t past tmax the snapped offset exceeds
     # dt_max, and the reference advects it fully (integrate_pos while-loop,
-    # models/nvfi.py:57) — use the static eval-time bound
+    # models/nvfi.py:57) — default to the static eval-time bound; callers that
+    # know every t in the batch is within dt_max of its keyframe pass 1
+    if n_steps is None:
+        n_steps = meta.render_adv_steps
     prev = kplane.integrate_pos(params, meta, xyz_norm, t, base,
-                                n_steps=meta.render_adv_steps)
+                                n_steps=n_steps)
     xyzt = jnp.concatenate([prev, kplane.normalize_time(meta, base)], axis=-1)
     feat = kplane.density_feature(params, meta, xyzt)
     sigma = kplane.feature2density(meta, feat, None)
@@ -57,42 +61,111 @@ def occupancy_mask(params, meta: kplane.KPlaneMeta, xyz_norm, t):
 
 def vel_pde_loss(params, meta: kplane.KPlaneMeta, key, n_pts: int,
                  chunk: int = 32768, occupied_budget: int | None = None,
-                 alpha_state: dict | None = None):
+                 alpha_state: dict | None = None,
+                 prefilter_state: dict | None = None):
     """Divergence-free + transport-equation loss over occupied samples.
 
     Jacobian points are processed in rematerialized ``lax.scan`` chunks so the
     second-order graph keeps only O(chunk) activations in HBM.
 
-    ``alpha_state``: turbo-mode shortcut — filter by the precomputed
-    time-maxed occupancy volume (one trilinear lookup) instead of the
-    reference's advect-then-evaluate-density filter (11 RK2 sweeps + a
-    density pass for t past tmax).  The mask is the union of per-time
-    occupancy, so it keeps a superset of the reference's points; quality
-    parity is checked end-to-end by scripts/turbo_quality.py.
+    ``alpha_state``: opt-in shortcut — REPLACE the reference's
+    advect-then-evaluate-density filter (11 RK2 sweeps + a density pass for t
+    past tmax) with one trilinear lookup in the precomputed time-maxed
+    occupancy volume.  The mask is the union of per-time occupancy, so it
+    keeps a superset of the reference's points and measurably dilutes the
+    loss (BASELINE.md turbo table) — default OFF.
+
+    ``prefilter_state``: the turbo default — the occupancy volume only ROUTES
+    the Jacobian budget: candidates are pre-screened by one trilinear lookup,
+    the budget is drawn uniformly among pre-passing points, and the
+    reference's exact advect+density filter then runs on just the selected
+    ``occupied_budget`` points instead of all ``n_pts``.  Because the
+    time-maxed mask is a superset of per-time density occupancy, uniform-
+    among-(mask ∧ density-occupied) equals uniform-among-density-occupied —
+    the same estimator as the reference path, at ~n_pts/budget (8x) less
+    filter work.
     """
     k_x, k_t, k_sel = jax.random.split(key, 3)
     a = meta.aabb_np
     pts = jax.random.uniform(k_x, (n_pts, 3)) * (a[1] - a[0]) + a[0]
     xyz = kplane.normalize_coord(meta, pts)
-    t = jax.random.uniform(k_t, (n_pts, 1))
 
-    if alpha_state is not None:
-        mask = jax.lax.stop_gradient(
-            (kplane.sample_alpha(alpha_state, xyz) > 0).astype(jnp.float32)
+    # Stratified time sampling with proportional allocation: n*tmax points in
+    # [0, tmax) and n*(1-tmax) in [tmax, 1) — the same marginal U[0,1) the
+    # reference draws (models/nvfi.py:47), but now each bucket's advection
+    # depth is statically known: within the training window the keyframe snap
+    # leaves |offset| <= dt_max (ONE exact RK2 step), while only the
+    # extrapolation bucket needs the full ceil((1-tmax)/dt_max) bound.  The
+    # reference's while-loop does exactly this per point, data-dependently;
+    # the split recovers it with static shapes at ~1/3 the advection cost.
+    split = (
+        alpha_state is None and meta.use_vel
+        and 0.0 < meta.tmax < 1.0 and meta.num_keyframes > 1
+    )
+    if split:
+        n1 = int(round(n_pts * meta.tmax))
+        n1 = min(max(n1, 0), n_pts)
+        n2 = n_pts - n1
+        u = jax.random.uniform(k_t, (n_pts, 1))
+        t = jnp.concatenate(
+            [u[:n1] * meta.tmax, meta.tmax + u[n1:] * (1.0 - meta.tmax)], axis=0
         )
     else:
-        mask = occupancy_mask(params, meta, xyz, t).astype(jnp.float32)
+        t = jax.random.uniform(k_t, (n_pts, 1))
 
-    if occupied_budget is not None and occupied_budget < n_pts:
-        # uniform subsample among occupied: occupied score in [1,2),
-        # unoccupied in [0,1) — top-k picks occupied first, randomly within
-        score = mask + jax.random.uniform(k_sel, (n_pts,))
-        _, sel = jax.lax.top_k(score, occupied_budget)
+    def budget_select(score_noise, b, xyz_b, t_b):
+        """Uniform subsample among score>=1 points: scores of passing points
+        land in [1,2), failing in [0,1) — top-k picks passing first,
+        uniformly at random within each class."""
+        _, sel = jax.lax.top_k(score_noise, b)
         sel = jax.lax.stop_gradient(sel)
-        xyz = xyz[sel]
-        t = t[sel]
-        mask = mask[sel]
+        return xyz_b[sel], t_b[sel]
+
+    if (prefilter_state is not None and occupied_budget is not None
+            and occupied_budget < n_pts):
+        pre = jax.lax.stop_gradient(
+            (kplane.sample_alpha(prefilter_state, xyz, meta) > 0)
+        ).astype(jnp.float32)
+        noise = jax.random.uniform(k_sel, (n_pts,))
+        if split and n1 > 0 and n2 > 0:
+            # keep the time strata through the selection (static shapes)
+            b1 = min(n1, max(1, int(round(occupied_budget * meta.tmax))))
+            b2 = occupied_budget - b1
+            xyz1, t1 = budget_select((pre + noise)[:n1], b1, xyz[:n1], t[:n1])
+            xyz2, t2 = budget_select((pre + noise)[n1:], b2, xyz[n1:], t[n1:])
+            mask = jnp.concatenate([
+                occupancy_mask(params, meta, xyz1, t1, n_steps=1),
+                occupancy_mask(params, meta, xyz2, t2,
+                               n_steps=meta.render_adv_steps),
+            ]).astype(jnp.float32)
+            xyz = jnp.concatenate([xyz1, xyz2])
+            t = jnp.concatenate([t1, t2])
+        else:
+            xyz, t = budget_select(pre + noise, occupied_budget, xyz, t)
+            mask = occupancy_mask(params, meta, xyz, t).astype(jnp.float32)
         n_pts = occupied_budget
+    else:
+        if alpha_state is not None:
+            mask = jax.lax.stop_gradient(
+                (kplane.sample_alpha(alpha_state, xyz, meta) > 0).astype(jnp.float32)
+            )
+        elif split and n1 > 0 and n2 > 0:
+            mask = jnp.concatenate([
+                occupancy_mask(params, meta, xyz[:n1], t[:n1], n_steps=1),
+                occupancy_mask(params, meta, xyz[n1:], t[n1:],
+                               n_steps=meta.render_adv_steps),
+            ]).astype(jnp.float32)
+        else:
+            mask = occupancy_mask(params, meta, xyz, t).astype(jnp.float32)
+
+        if occupied_budget is not None and occupied_budget < n_pts:
+            score = mask + jax.random.uniform(k_sel, (n_pts,))
+            _, sel = jax.lax.top_k(score, occupied_budget)
+            sel = jax.lax.stop_gradient(sel)
+            xyz = xyz[sel]
+            t = t[sel]
+            mask = mask[sel]
+            n_pts = occupied_budget
 
     vel_params = params["vel"]
 

@@ -20,14 +20,15 @@ from ..fields import kplane
 @functools.partial(
     jax.jit,
     static_argnums=(1,),
-    static_argnames=("training", "white_bg", "transfer_vel", "n_samples"),
+    static_argnames=("training", "white_bg", "transfer_vel", "n_samples",
+                     "adv_steps"),
 )
 def _render_chunk(params, meta, t, rays_o, rays_d, key, alpha_state, mask_params,
-                  *, training, white_bg, transfer_vel, n_samples):
+                  *, training, white_bg, transfer_vel, n_samples, adv_steps=None):
     return kplane.render_rays(
         params, meta, t, rays_o, rays_d, key=key, training=training,
         white_bg=white_bg, transfer_vel=transfer_vel, alpha_state=alpha_state,
-        n_samples=n_samples, mask_params=mask_params,
+        n_samples=n_samples, mask_params=mask_params, adv_steps=adv_steps,
     )
 
 
@@ -59,7 +60,17 @@ def render_image(
     if key is None:
         key = jax.random.PRNGKey(0)
 
+    # specialize the advection scan length on the image's host-known time,
+    # BUCKETED to two step counts (1 vs the full bound) so a split render
+    # costs at most two compiled variants: every t <= tmax render needs
+    # exactly ONE RK2 step (kplane.render_steps_for_time), the rest keep the
+    # conservative bound.  Extra steps are dt=0 no-ops, so this is exact.
+    exact_steps = kplane.render_steps_for_time(meta, t, transfer_vel)
+    bound = meta.transfer_adv_steps if transfer_vel else meta.render_adv_steps
+    adv_steps = 1 if exact_steps == 1 else bound
+
     outs = []
+    total_dropped = 0.0
     for start in range(0, n, chunk):
         co = o[start : start + chunk]
         cd = d[start : start + chunk]
@@ -71,13 +82,15 @@ def render_image(
             params, meta, jnp.float32(t), jnp.asarray(co), jnp.asarray(cd), key,
             alpha_state, mask_params,
             training=False, white_bg=white_bg, transfer_vel=transfer_vel,
-            n_samples=meta.n_samples,
+            n_samples=meta.n_samples, adv_steps=adv_steps,
         )
-        nd = float(res.get("dropped_blocks", 0.0))
+        nd = float(res.get("dropped_blocks", 0.0)) + float(res.get("dropped_shade", 0.0))
         if nd > 0:
             # budget clipped real work: the render is no longer exact
-            print(f"[render] WARNING: {int(nd)} active sample-blocks dropped "
-                  f"by block_budget={meta.block_budget}; raise the budget")
+            print(f"[render] WARNING: {int(nd)} active sample-blocks/shade "
+                  f"samples dropped (block_budget={meta.block_budget}, "
+                  f"shade_fraction={meta.shade_fraction}); raise the budget")
+        total_dropped += nd
         res = {k: np.asarray(v) for k, v in res.items() if k in ("rgb", "depth", "acc", "mask")}
         if pad:
             res = {k: v[:-pad] for k, v in res.items()}
@@ -88,4 +101,8 @@ def render_image(
     merged["depth"] = merged["depth"].reshape(H, W)
     merged["acc"] = merged["acc"].reshape(H, W)
     merged["mask"] = merged["mask"].reshape(H, W, -1)
+    # budget-exactness certificate for the whole image (0 => identical to the
+    # dense path); harness.render_split raises on nonzero so inexact renders
+    # can never silently feed metric tables
+    merged["dropped"] = total_dropped
     return merged

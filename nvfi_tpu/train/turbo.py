@@ -1,0 +1,138 @@
+"""Turbo-mode budget calibration (host-side numpy, no TPU compiles).
+
+Turbo training ("train_occupancy_prune" + block-sparse sample axis,
+fields/kplane.py) is exact as long as no ACTIVE sample-block is dropped by the
+static ``block_budget``.  The right budget varies per stage: it depends on the
+alpha mask's occupancy, the post-shrink aabb, and the ray geometry.  This
+module measures the active-block fraction directly — replaying the training
+step's sampling math (box entry, stratified jitter, occupancy lookup, 64-block
+tiling) in numpy on probe batches — and returns a budget with a safety margin,
+so the Trainer can engage turbo at each alpha-mask stage event with a budget
+that is tight (throughput) but safe (exactness, certified per-step by the
+``dropped_blocks`` counter).
+
+The numpy trilinear lookup is a bit-faithful replica of
+ops/grid_sample.grid_sample_3d (tested against it in tests/test_turbo.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def trilinear_np(volume: np.ndarray, coords: np.ndarray) -> np.ndarray:
+    """Numpy replica of ops/grid_sample.grid_sample_3d (torch align_corners=True,
+    zeros padding): volume (D,H,W), coords (...,3) normalized (x,y,z) with
+    x indexing W, y indexing H, z indexing D."""
+    D, H, W = volume.shape
+
+    def cw(u, size):
+        x = (u + 1.0) * 0.5 * (size - 1)
+        x0 = np.floor(x)
+        w1 = x - x0
+        i0 = x0.astype(np.int64)
+        i1 = i0 + 1
+        v0 = (i0 >= 0) & (i0 <= size - 1)
+        v1 = (i1 >= 0) & (i1 <= size - 1)
+        return (
+            (np.clip(i0, 0, size - 1), np.clip(i1, 0, size - 1)),
+            (1.0 - w1, w1),
+            (v0, v1),
+        )
+
+    x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
+    (ix0, ix1), (wx0, wx1), (vx0, vx1) = cw(x, W)
+    (iy0, iy1), (wy0, wy1), (vy0, vy1) = cw(y, H)
+    (iz0, iz1), (wz0, wz1), (vz0, vz1) = cw(z, D)
+    flat = volume.reshape(-1)
+
+    def corner(iz, iy, ix, wz, wy, wx, vz, vy, vx):
+        w = wz * wy * wx * (vz & vy & vx)
+        return flat[(iz * H + iy) * W + ix] * w
+
+    return (
+        corner(iz0, iy0, ix0, wz0, wy0, wx0, vz0, vy0, vx0)
+        + corner(iz0, iy0, ix1, wz0, wy0, wx1, vz0, vy0, vx1)
+        + corner(iz0, iy1, ix0, wz0, wy1, wx0, vz0, vy1, vx0)
+        + corner(iz0, iy1, ix1, wz0, wy1, wx1, vz0, vy1, vx1)
+        + corner(iz1, iy0, ix0, wz1, wy0, wx0, vz1, vy0, vx0)
+        + corner(iz1, iy0, ix1, wz1, wy0, wx1, vz1, vy0, vx1)
+        + corner(iz1, iy1, ix0, wz1, wy1, wx0, vz1, vy1, vx0)
+        + corner(iz1, iy1, ix1, wz1, wy1, wx1, vz1, vy1, vx1)
+    )
+
+
+def active_block_fraction(
+    meta, alpha_volume: np.ndarray, alpha_aabb: np.ndarray, pose: np.ndarray,
+    H: int, W: int, focal: float, n_rays: int, rng: np.random.RandomState,
+    SB: int = 64,
+) -> float:
+    """Fraction of 64-sample blocks containing >=1 in-box AND occupied sample
+    for one probe batch — the exact 'active' criterion of the block-sparse
+    selection in kplane.render_rays (occupancy looked up in the alpha
+    volume's OWN aabb, matching kplane.sample_alpha's re-normalization)."""
+    a = meta.aabb_np.astype(np.float64)
+    pix = rng.randint(0, H * W, size=n_rays)
+    ii, jj = pix // W, pix % W
+    x = (jj.astype(np.float64) - W * 0.5) / focal
+    y = -(ii.astype(np.float64) - H * 0.5) / focal
+    dirs = np.stack([x, y, -np.ones_like(x)], axis=-1)
+    pose = np.asarray(pose, dtype=np.float64)
+    ray_d = dirs @ pose[:3, :3].T
+    ray_o = np.broadcast_to(pose[:3, 3], ray_d.shape)
+
+    near, far = meta.near_far
+    if meta.parity_sampling:
+        inside_any = bool(np.any((ray_o >= a[0]) & (ray_o <= a[1])))
+    else:
+        inside_any = bool(np.any(np.all((ray_o >= a[0]) & (ray_o <= a[1]), axis=-1)))
+    vec = np.where(ray_d == 0, 1e-6, ray_d)
+    rate_a = (a[1] - ray_o) / vec
+    rate_b = (a[0] - ray_o) / vec
+    t_min = np.clip(np.max(np.minimum(rate_a, rate_b), axis=-1), near, far)
+    if inside_any:
+        t_min = np.full_like(t_min, near)
+
+    n_samples = meta.n_samples
+    ns_pad = -(-n_samples // SB) * SB
+    rng_steps = np.arange(ns_pad, dtype=np.float64)[None, :]
+    rng_steps = rng_steps + rng.rand(n_rays, 1)  # per-ray stratified jitter
+    z_vals = t_min[:, None] + rng_steps * meta.step_size
+    pts = ray_o[:, None, :] + ray_d[:, None, :] * z_vals[..., None]
+    valid = np.all((pts >= a[0]) & (pts <= a[1]), axis=-1)
+    valid &= (np.arange(ns_pad) < n_samples)[None, :]
+
+    aa = np.asarray(alpha_aabb, dtype=np.float64)
+    xyz_norm = (pts - aa[0]) * (2.0 / (aa[1] - aa[0])) - 1.0
+    occ = trilinear_np(np.asarray(alpha_volume, dtype=np.float64), xyz_norm) > 0
+    valid &= occ
+
+    nb = ns_pad // SB
+    active = valid.reshape(n_rays * nb, SB).any(axis=-1)
+    return float(active.mean())
+
+
+def measure_block_budget(
+    meta, alpha_state, poses, H: int, W: int, focal: float, n_rays: int,
+    seed: int = 0, n_batches: int = 12, margin: float = 1.3, floor: float = 0.02,
+) -> float:
+    """Safe per-stage block budget: max probe-batch active fraction x margin.
+
+    The margin covers batch-to-batch variation beyond the probe; the
+    per-step ``dropped_blocks`` counter remains the runtime certificate.
+    Returns 1.0 (dense) if the measured budget would not actually save work.
+    """
+    rng = np.random.RandomState(seed)
+    poses = np.asarray(poses)
+    vol = np.asarray(alpha_state["volume"])
+    aabb = np.asarray(alpha_state["aabb"])
+    frac = 0.0
+    for b in range(n_batches):
+        pose = poses[rng.randint(len(poses))]
+        frac = max(
+            frac,
+            active_block_fraction(meta, vol, aabb, pose, H, W, focal,
+                                  n_rays, rng),
+        )
+    budget = min(1.0, max(frac * margin + floor, 0.05))
+    return budget if budget < 0.9 else 1.0

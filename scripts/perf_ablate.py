@@ -105,6 +105,8 @@ def main():
 
     ro2, rd2, t2 = make_rays(512, seed=1)
     c512 = timed("C512 rgb-grad (topk)", g(meta, True, "rgb"), (params, t2, ro2, rd2, key))
+    ro3, rd3, t3 = make_rays(1024, seed=2)
+    c1024 = timed("C1024 rgb-grad (topk)", g(meta, True, "rgb"), (params, t3, ro3, rd3, key))
 
     @jax.jit
     def pde(params, key):
@@ -113,11 +115,35 @@ def main():
         )(params)
         return sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(grads))
 
-    t5 = timed("T5 PDE-grad", pde, (params, key))
+    t5 = timed("T5 PDE-grad (stratified)", pde, (params, key))
 
-    est = 2 * 32 * c256 * 1e3 + t5 * 1e3
-    print(f"\nestimate 64x C256 + PDE = {est:.0f} ms vs full step ~2626 ms", flush=True)
-    print(f"512-vs-256 scaling: {c512 / c256:.2f}x (2.0 = linear)", flush=True)
+    # ceiling probe: the PDE with a precomputed-mask filter (one trilinear
+    # lookup instead of the advect+density filter) — bounds what's left of
+    # the filter cost after the stratified time split
+    g128 = 128
+    lin = np.linspace(-1, 1, g128)
+    zz, yy, xx = np.meshgrid(lin, lin, lin, indexing="ij")
+    vol = jnp.asarray(((xx**2 + yy**2 + zz**2) < 0.3).astype(np.float32))
+    alpha_state = {"volume": vol, "aabb": jnp.asarray(meta.aabb_np)}
+
+    @jax.jit
+    def pde_mask(params, key):
+        grads = jax.grad(
+            lambda p: vel_pde_loss(p, meta, key, 262144, occupied_budget=32768,
+                                   alpha_state=alpha_state)
+        )(params)
+        return sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(grads))
+
+    t5m = timed("T5 PDE-grad (mask filter)", pde_mask, (params, key))
+
+    for n_chunks, c in ((32, c256), (16, c512), (8, c1024)):
+        est = 2 * n_chunks * c * 1e3 + t5 * 1e3
+        print(f"estimate 2x{n_chunks} chunks + PDE = {est:.0f} ms "
+              f"({2 * 8192 / est * 1e3:,.0f} rays/s)", flush=True)
+    print(f"512/256 scaling {c512 / c256:.2f}x, 1024/256 {c1024 / c256:.2f}x "
+          f"(linear = 2/4)", flush=True)
+    print(f"PDE filter delta (advect-filter vs mask-filter): "
+          f"{(t5 - t5m) * 1e3:.0f} ms", flush=True)
 
 
 if __name__ == "__main__":

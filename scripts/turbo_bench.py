@@ -28,13 +28,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene_dir", required=True)
     ap.add_argument("--checkpoint", type=int, default=-1)
-    ap.add_argument("--budget", type=float, default=0.35)
+    ap.add_argument("--budget", type=float, default=0.0,
+                    help="block budget; 0 = calibrate with the production "
+                         "numpy probe (train/turbo.py)")
     ap.add_argument("--n_rays", type=int, default=8192)
     ap.add_argument("--config", default="configs/synth/bat.yaml")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from nvfi_tpu.config import load_config
     from nvfi_tpu.data import make_synthetic_scene
@@ -68,6 +71,17 @@ def main():
             tuple(min(g, 200) for g in meta.grid_size))
     occ = float(jnp.mean(alpha_state["volume"]))
     print(f"[turbo] occupancy fraction = {occ:.4f}", flush=True)
+
+    if args.budget <= 0.0:
+        from nvfi_tpu.train import turbo as turbo_mod
+
+        poses = np.stack([np.asarray(p, np.float32) for p in ds7[1]["train"]])
+        args.budget = turbo_mod.measure_block_budget(
+            replace(meta, compute_dtype="bfloat16"), alpha_state, poses,
+            256, 256, ds7[6][2], args.n_rays,
+        )
+        print(f"[turbo] probe-calibrated block_budget = {args.budget:.3f}",
+              flush=True)
 
     def time_trainer(turbo: bool):
         tr = Trainer(cfg, ds7, mode="static_dynamic")

@@ -89,13 +89,41 @@ def main():
         ),
         "transfer", "test_img",
     )
+    # transfer-mode alpha mask, built once and shared with the GIF sweep
+    alpha_state, _ = kplane.update_alpha_mask(
+        params, meta,
+        tuple(min(g, args.alpha_grid) for g in meta.grid_size), transfer=True,
+    )
     preds, errors = render_split(
         params, meta, dataset, "test",
         white_bg=bool(cfg.dataset.white_background),
-        transfer_vel=True, savedir=savedir,
+        transfer_vel=True, savedir=savedir, alpha_state=alpha_state,
         alpha_grid=args.alpha_grid, max_views=args.n_views,
     )
     print("[transfer]", errors)
+
+    # correctness signal (VERDICT r2 weak #6): at t=0 the transfer path
+    # advects by a zero offset, so the grafted scene must reproduce the
+    # HOST's own t=0 geometry (high PSNR) regardless of the donor; PSNR then
+    # degrading over t is the signature of the donor's motion taking over —
+    # distinguishing "donor motion applied" from "garbage render".
+    from nvfi_tpu.eval.metrics import psnr as psnr_fn
+
+    times = np.asarray(dataset[2]["test"], np.float32)[: len(preds)]
+    for i, t in enumerate(times):
+        p = psnr_fn(preds[i], np.asarray(dataset[0]["test"][i], np.float32))
+        tag = "  <- t=0 host-geometry check" if abs(float(t)) < 1e-6 else ""
+        print(f"[transfer] view {i} t={t:.3f} psnr={p:.2f}{tag}")
+
+    from nvfi_tpu.eval.harness import save_gif_time_sweep
+
+    gif = os.path.join(os.path.dirname(savedir), "transfer_sweep.gif")
+    save_gif_time_sweep(
+        params, meta, dataset, gif,
+        white_bg=bool(cfg.dataset.white_background),
+        transfer_vel=True, alpha_state=alpha_state, view=0,
+    )
+    print(f"[transfer] time-sweep GIF -> {gif}")
 
 
 if __name__ == "__main__":

@@ -214,6 +214,58 @@ def test_turbo_occupancy_pruned_training(tiny_scene):
     assert np.isfinite(float(m["loss"]))
 
 
+def test_turbo_engages_at_alpha_event_with_probed_budget(tiny_scene):
+    """nvfi.turbo: training runs dense until the first alpha-mask stage
+    event, then flips to occupancy-pruned sampling with a block budget
+    calibrated by the numpy probe — and drops zero active blocks."""
+    from nvfi_tpu.train.trainer import Trainer
+
+    cfg = small_cfg(**{
+        "renderer.n_rays": 64, "experiment.vel_reg_n_pts": 64,
+        "nvfi.max_n_samples": 24, "nvfi.update_AlphaMask_list": [2],
+        "nvfi.turbo": True,
+    })
+    tr = Trainer(cfg, tiny_scene, mode="static_dynamic")
+    # dense parity path before the event
+    assert not tr.meta.train_occupancy_prune
+    assert tr.meta.block_budget == 1.0
+    m = tr.train(iters=6)
+    assert tr.alpha_state is not None
+    assert tr.meta.train_occupancy_prune
+    assert 0.0 < tr.meta.block_budget <= 1.0
+    assert np.isfinite(float(m["loss"]))
+    if tr.meta.block_budget < 1.0:
+        assert float(m["dropped_blocks"]) == 0.0
+
+
+def test_vel_mode_trains_only_velocity(tiny_scene):
+    """mode='vel' (broken in the reference: train_nvfi.py:89 references a
+    nonexistent nvfi.velocity_field — SURVEY §2.3): the velocity-only mode
+    must update params['vel'] and NOTHING else (grids, decoders, shader all
+    frozen via zeroed per-group lrs)."""
+    from nvfi_tpu.train.trainer import Trainer
+
+    cfg = small_cfg(**{"renderer.n_rays": 64, "experiment.vel_reg_n_pts": 64,
+                       "nvfi.max_n_samples": 24})
+    tr = Trainer(cfg, tiny_scene, mode="vel")
+    before = jax.tree.map(np.asarray, tr.params)
+    m = tr.train(iters=3)
+    assert np.isfinite(float(m["loss"]))
+    after = jax.tree.map(np.asarray, tr.params)
+
+    def max_delta(sub_b, sub_a):
+        return max(
+            float(np.max(np.abs(b - a)))
+            for b, a in zip(jax.tree.leaves(sub_b), jax.tree.leaves(sub_a))
+        )
+
+    assert max_delta(before["vel"], after["vel"]) > 0.0, "velocity net frozen"
+    for k in before:
+        if k == "vel":
+            continue
+        assert max_delta(before[k], after[k]) == 0.0, f"{k} changed in vel mode"
+
+
 def test_shard_map_step_trains(tiny_scene):
     """Explicit-collective variant: shard_map over the 8-device mesh with
     per-device ray sub-batches and pmean'd gradients learns like the
