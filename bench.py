@@ -96,16 +96,22 @@ def main():
 
     mode = "dense-parity"
     if asset is not None:
+        from nvfi_tpu.fields import kplane
+
+        if "dilated" not in alpha_state:
+            alpha_state["dilated"] = kplane.corner_dilate(alpha_state["volume"])
         poses = np.stack([np.asarray(p, np.float32)
                           for p in dataset[1]["train"]])
-        budget = turbo_mod.measure_block_budget(
-            trainer.meta, alpha_state, poses, H, W, dataset[6][2], n_rays)
+        budget, shade = turbo_mod.measure_block_budget(
+            trainer.meta, alpha_state, poses, H, W, dataset[6][2], n_rays,
+            with_shade=True)
         trainer.alpha_state = alpha_state
         trainer.meta = replace(trainer.meta, train_occupancy_prune=True,
-                               block_budget=float(budget))
+                               block_budget=float(budget),
+                               shade_fraction=float(shade))
         trainer._step_cache = {}
         occ = float(np.asarray(alpha_state["volume"]).mean())
-        mode = f"turbo(budget={budget:.3f},occ={occ:.3f})"
+        mode = f"turbo(budget={budget:.3f},shade={shade:.3f},occ={occ:.3f})"
 
     print(f"[bench] device={jax.devices()[0]} grid={trainer.meta.grid_size} "
           f"K={trainer.meta.num_keyframes} n_samples={trainer.meta.n_samples} "

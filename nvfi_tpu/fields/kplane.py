@@ -694,8 +694,14 @@ def render_rays(
     # samples — a TPU-native throughput mode justified by matched quality,
     # not a parity default.  Feeds the block-sparse selection below.
     if alpha_state is not None and (not training or meta.train_occupancy_prune):
-        alphas = sample_alpha(alpha_state, xyz, meta)
-        valid = valid & (alphas > 0)
+        if training:
+            # turbo: 1-gather dilated test (weak superset of the trilinear
+            # test => keeps marginally more samples, i.e. CLOSER to the
+            # reference's dense training than trilinear pruning would be)
+            valid = valid & sample_occupied(alpha_state, xyz, meta)
+        else:
+            # eval: the reference's exact trilinear>0 prune (:656-661)
+            valid = valid & (sample_alpha(alpha_state, xyz, meta) > 0)
 
     # Two-pass evaluation (the fixed-shape analogue of the reference's
     # ray_valid / app_mask boolean compaction, tensorf_keyframe.py:656-735):
@@ -880,22 +886,67 @@ def render_rays(
 # Alpha mask (occupancy grid)
 # ---------------------------------------------------------------------------
 
-def sample_alpha(alpha_state: dict, xyz_norm, meta: KPlaneMeta | None = None):
-    """Trilinear occupancy lookup (reference AlphaGridMask :417-442).
+def _to_mask_coords(alpha_state: dict, xyz_norm, meta: KPlaneMeta | None):
+    """Re-normalize model-aabb coords into the alpha volume's own aabb —
+    exactly what the reference's AlphaGridMask does with ``alpha_aabb``
+    internally.  This matters whenever the model aabb has moved since the
+    mask was built: the trainer shrinks the aabb right AFTER building the
+    mask at each alpha-mask stage event, so training-time occupancy lookups
+    (turbo pruning, PDE prefilter) MUST re-normalize.  Without ``meta`` the
+    two aabbs are assumed identical (the eval path builds a fresh mask)."""
+    if meta is None:
+        return xyz_norm
+    world = denormalize_coord(meta, xyz_norm)
+    a = alpha_state["aabb"]
+    return (world - a[0]) * 2.0 / (a[1] - a[0]) - 1.0
 
-    ``xyz_norm`` is normalized to the MODEL aabb.  When ``meta`` is given the
-    coords are re-normalized into the alpha volume's own stored aabb — exactly
-    what the reference's AlphaGridMask does with ``alpha_aabb`` internally.
-    This matters whenever the model aabb has moved since the mask was built:
-    the trainer shrinks the aabb right AFTER building the mask at each
-    alpha-mask stage event, so training-time occupancy lookups (turbo pruning,
-    PDE mask filter) MUST re-normalize.  Without ``meta`` the two aabbs are
-    assumed identical (the eval path, which builds a fresh mask)."""
-    if meta is not None:
-        world = denormalize_coord(meta, xyz_norm)
-        a = alpha_state["aabb"]
-        xyz_norm = (world - a[0]) * 2.0 / (a[1] - a[0]) - 1.0
-    return grid_sample_3d(alpha_state["volume"], xyz_norm)
+
+def sample_alpha(alpha_state: dict, xyz_norm, meta: KPlaneMeta | None = None):
+    """Trilinear occupancy lookup (reference AlphaGridMask :417-442)."""
+    return grid_sample_3d(
+        alpha_state["volume"], _to_mask_coords(alpha_state, xyz_norm, meta)
+    )
+
+
+def corner_dilate(vol):
+    """(D,H,W) -> per-cell corner max: out[i,j,k] = max(vol[i:i+2, j:j+2, k:k+2])
+    with edge clamping."""
+    for ax in range(3):
+        n = vol.shape[ax]
+        idx = jnp.minimum(jnp.arange(n) + 1, n - 1)
+        vol = jnp.maximum(vol, jnp.take(vol, idx, axis=ax))
+    return vol
+
+
+def sample_occupied(alpha_state: dict, xyz_norm, meta: KPlaneMeta | None = None):
+    """Boolean occupancy test, equal to ``sample_alpha(...) > 0``.
+
+    The binary volume makes ``trilinear(x) > 0`` equivalent to "some cell
+    corner with nonzero interpolation weight is occupied", which ONE nearest
+    gather into the corner-dilated volume answers — 1 gather/sample instead
+    of the trilinear lookup's 8 (measured ~3.8 ns/index on v5e, this is a
+    real term at 350k samples/chunk).  At exactly grid-aligned coords the
+    dilated test also sees corners whose trilinear weight is exactly 0, so it
+    is (weakly) MORE permissive: a superset of kept samples — pruning
+    stays exact (never drops a sample the trilinear test keeps).
+
+    Falls back to the trilinear test when the state has no precomputed
+    ``dilated`` volume (old checkpoints)."""
+    dil = alpha_state.get("dilated")
+    if dil is None:
+        return sample_alpha(alpha_state, xyz_norm, meta) > 0
+    c = _to_mask_coords(alpha_state, xyz_norm, meta)
+    D, H, W = dil.shape
+    sizes = jnp.asarray([W, H, D], dtype=c.dtype)
+    pix = (c + 1.0) * 0.5 * (sizes - 1.0)
+    # cells outside the volume by a full cell have no in-range corner
+    in_range = jnp.all((pix > -1.0) & (pix < sizes), axis=-1)
+    i = jnp.clip(jnp.floor(pix).astype(jnp.int32), 0,
+                 jnp.asarray([max(W - 2, 0), max(H - 2, 0), max(D - 2, 0)],
+                             jnp.int32))
+    flat = dil.reshape(-1)
+    v = flat[(i[..., 2] * H + i[..., 1]) * W + i[..., 0]]
+    return (v > 0) & in_range
 
 
 def compute_dense_alpha(params, meta: KPlaneMeta, grid_size: tuple, transfer: bool = False,
@@ -980,9 +1031,13 @@ def update_alpha_mask(params, meta: KPlaneMeta, grid_size: tuple, transfer: bool
         new_aabb = np.stack([valid_xyz.min(0), valid_xyz.max(0)])
     else:
         new_aabb = meta.aabb_np.copy()
+    vol = jnp.asarray(alpha_np)
     alpha_state = {
-        "volume": jnp.asarray(alpha_np),
+        "volume": vol,
         "aabb": jnp.asarray(meta.aabb_np),
+        # corner-dilated binary volume: lets occupancy tests run as ONE
+        # nearest gather instead of 8 trilinear corners (sample_occupied)
+        "dilated": corner_dilate(vol),
     }
     return alpha_state, new_aabb
 

@@ -124,7 +124,7 @@ def vel_pde_loss(params, meta: kplane.KPlaneMeta, key, n_pts: int,
     if (prefilter_state is not None and occupied_budget is not None
             and occupied_budget < n_pts):
         pre = jax.lax.stop_gradient(
-            (kplane.sample_alpha(prefilter_state, xyz, meta) > 0)
+            kplane.sample_occupied(prefilter_state, xyz, meta)
         ).astype(jnp.float32)
         noise = jax.random.uniform(k_sel, (n_pts,))
         if split and n1 > 0 and n2 > 0:

@@ -190,12 +190,14 @@ def make_loss_fn(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str, H: int, W: int
     # sample points per chunk (the reference's renderer.batch_size point
     # batchify, reborn as a rematerialized lax.scan).  Under the block-sparse
     # budget only ~budget of each chunk's samples reach the expensive
-    # gather/advection activations, so chunks can grow ~1/budget (capped 4x)
-    # at the same memory — fewer chunks = less per-chunk fixed work.
+    # gather/advection activations, so chunks can grow at the same activation
+    # memory.  Capped at 2x: the r3 ablation (logs/r3_ablate.log) measured
+    # chunk cost LINEAR in rays at 256->512 and superlinear at 1024 (dense) —
+    # there is no fixed per-chunk cost to amortize, only HBM-pressure risk.
     n_samples = meta.n_samples
     point_batch = hp.point_batch
     if 0.0 < meta.block_budget < 1.0:
-        point_batch = int(point_batch * min(4.0, 1.0 / max(meta.block_budget, 0.25)))
+        point_batch = int(point_batch * min(2.0, 1.0 / max(meta.block_budget, 0.25)))
     ray_chunk = max(1, point_batch // max(n_samples, 1))
     while n_rays % ray_chunk:
         ray_chunk -= 1
@@ -686,19 +688,28 @@ class Trainer:
                     self.l1_base = hp.L1_weight_reset
                     self.l1_step0 = it + 1
                 if self.turbo:
-                    budget = self.turbo_budget or turbo_mod.measure_block_budget(
+                    budget, shade = turbo_mod.measure_block_budget(
                         self.meta, self.alpha_state,
                         np.stack([np.asarray(p, dtype=np.float32)
                                   for p in self.all_poses[self.split]]),
                         self.H, self.W, self.focal, hp.n_rays,
+                        with_shade=True,
                     )
+                    if self.turbo_budget:
+                        budget = self.turbo_budget
+                    # the probed shade fraction provably covers every
+                    # above-threshold sample (occupied-count bound), making
+                    # the shade top-K exact — use it directly, whether below
+                    # the 0.25 default (faster) or above it (more exact)
                     self.meta = _dc_replace(
                         self.meta, train_occupancy_prune=True,
                         block_budget=float(budget),
+                        shade_fraction=float(shade),
                     )
                     occ = float(np.asarray(self.alpha_state["volume"]).mean())
                     print(f"[turbo] stage@{it}: occupancy={occ:.3f} "
-                          f"block_budget={self.meta.block_budget:.3f}",
+                          f"block_budget={self.meta.block_budget:.3f} "
+                          f"shade_fraction={self.meta.shade_fraction:.3f}",
                           flush=True)
                 self._step_cache = {}
                 step_fn = self._get_step_fn(vel_pts)

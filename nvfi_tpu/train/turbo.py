@@ -62,15 +62,36 @@ def trilinear_np(volume: np.ndarray, coords: np.ndarray) -> np.ndarray:
     )
 
 
+def dilated_occupied_np(volume: np.ndarray, coords: np.ndarray) -> np.ndarray:
+    """Numpy replica of kplane.sample_occupied's dilated nearest test:
+    volume (D,H,W) binary, coords (...,3) normalized (x,y,z)."""
+    D, H, W = volume.shape
+    dil = np.asarray(volume, dtype=np.float64)
+    for ax, n in ((0, D), (1, H), (2, W)):
+        idx = np.minimum(np.arange(n) + 1, n - 1)
+        dil = np.maximum(dil, np.take(dil, idx, axis=ax))
+    sizes = np.array([W, H, D], np.float64)
+    pix = (coords + 1.0) * 0.5 * (sizes - 1.0)
+    in_range = np.all((pix > -1.0) & (pix < sizes), axis=-1)
+    i = np.clip(np.floor(pix).astype(np.int64), 0,
+                [max(W - 2, 0), max(H - 2, 0), max(D - 2, 0)])
+    flat = dil.reshape(-1)
+    v = flat[(i[..., 2] * H + i[..., 1]) * W + i[..., 0]]
+    return (v > 0) & in_range
+
+
 def active_block_fraction(
     meta, alpha_volume: np.ndarray, alpha_aabb: np.ndarray, pose: np.ndarray,
     H: int, W: int, focal: float, n_rays: int, rng: np.random.RandomState,
     SB: int = 64,
-) -> float:
-    """Fraction of 64-sample blocks containing >=1 in-box AND occupied sample
-    for one probe batch — the exact 'active' criterion of the block-sparse
-    selection in kplane.render_rays (occupancy looked up in the alpha
-    volume's OWN aabb, matching kplane.sample_alpha's re-normalization)."""
+):
+    """One probe batch; returns (active-block fraction, max per-ray occupied
+    samples).  The block criterion mirrors kplane.render_rays' block-sparse
+    selection exactly (incl. the dilated occupancy test and the alpha
+    volume's own aabb); the per-ray occupied count bounds the per-ray
+    above-threshold shade samples, since weight > thres requires alpha > 0
+    at the sample — so a shade top-K of at least that count provably
+    truncates nothing (dropped_shade == 0)."""
     a = meta.aabb_np.astype(np.float64)
     pix = rng.randint(0, H * W, size=n_rays)
     ii, jj = pix // W, pix % W
@@ -104,35 +125,46 @@ def active_block_fraction(
 
     aa = np.asarray(alpha_aabb, dtype=np.float64)
     xyz_norm = (pts - aa[0]) * (2.0 / (aa[1] - aa[0])) - 1.0
-    occ = trilinear_np(np.asarray(alpha_volume, dtype=np.float64), xyz_norm) > 0
+    occ = dilated_occupied_np(np.asarray(alpha_volume, dtype=np.float64), xyz_norm)
     valid &= occ
 
     nb = ns_pad // SB
     active = valid.reshape(n_rays * nb, SB).any(axis=-1)
-    return float(active.mean())
+    return float(active.mean()), int(valid.sum(axis=-1).max())
 
 
 def measure_block_budget(
     meta, alpha_state, poses, H: int, W: int, focal: float, n_rays: int,
     seed: int = 0, n_batches: int = 12, margin: float = 1.3, floor: float = 0.02,
-) -> float:
-    """Safe per-stage block budget: max probe-batch active fraction x margin.
+    with_shade: bool = False,
+):
+    """Safe per-stage budgets from probe batches.
 
-    The margin covers batch-to-batch variation beyond the probe; the
-    per-step ``dropped_blocks`` counter remains the runtime certificate.
-    Returns 1.0 (dense) if the measured budget would not actually save work.
+    Returns the block budget (max probe-batch active-block fraction x margin;
+    1.0 = dense if sparsity would not actually save work), and with
+    ``with_shade=True`` a tuple ``(block_budget, shade_fraction)`` where the
+    shade fraction covers the max per-ray occupied sample count with margin —
+    a PROVABLE bound on per-ray above-threshold samples, so the per-ray shade
+    top-K at this fraction truncates nothing.  The per-step
+    ``dropped_blocks``/``dropped_shade`` counters remain the runtime
+    certificates.
     """
     rng = np.random.RandomState(seed)
     poses = np.asarray(poses)
     vol = np.asarray(alpha_state["volume"])
     aabb = np.asarray(alpha_state["aabb"])
     frac = 0.0
+    max_occ = 0
     for b in range(n_batches):
         pose = poses[rng.randint(len(poses))]
-        frac = max(
-            frac,
-            active_block_fraction(meta, vol, aabb, pose, H, W, focal,
-                                  n_rays, rng),
-        )
+        f, mo = active_block_fraction(meta, vol, aabb, pose, H, W, focal,
+                                      n_rays, rng)
+        frac = max(frac, f)
+        max_occ = max(max_occ, mo)
     budget = min(1.0, max(frac * margin + floor, 0.05))
-    return budget if budget < 0.9 else 1.0
+    budget = budget if budget < 0.9 else 1.0
+    if not with_shade:
+        return budget
+    n_s = max(meta.n_samples, 1)
+    shade = min(1.0, max((max_occ * margin + 8.0) / n_s, 16.0 / n_s))
+    return budget, shade

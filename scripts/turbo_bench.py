@@ -72,16 +72,17 @@ def main():
     occ = float(jnp.mean(alpha_state["volume"]))
     print(f"[turbo] occupancy fraction = {occ:.4f}", flush=True)
 
+    shade = 0.25
     if args.budget <= 0.0:
         from nvfi_tpu.train import turbo as turbo_mod
 
         poses = np.stack([np.asarray(p, np.float32) for p in ds7[1]["train"]])
-        args.budget = turbo_mod.measure_block_budget(
+        args.budget, shade = turbo_mod.measure_block_budget(
             replace(meta, compute_dtype="bfloat16"), alpha_state, poses,
-            256, 256, ds7[6][2], args.n_rays,
+            256, 256, ds7[6][2], args.n_rays, with_shade=True,
         )
-        print(f"[turbo] probe-calibrated block_budget = {args.budget:.3f}",
-              flush=True)
+        print(f"[turbo] probe-calibrated block_budget = {args.budget:.3f} "
+              f"shade_fraction = {shade:.3f}", flush=True)
 
     def time_trainer(turbo: bool):
         tr = Trainer(cfg, ds7, mode="static_dynamic")
@@ -93,6 +94,7 @@ def main():
             meta, compute_dtype="bfloat16",
             train_occupancy_prune=turbo,
             block_budget=args.budget if turbo else 1.0,
+            shade_fraction=shade if turbo else meta.shade_fraction,
         )
         tr.alpha_state = alpha_state if turbo else None
         tr._step_cache = {}

@@ -94,6 +94,40 @@ def test_sample_alpha_renormalizes_into_mask_aabb():
                                np.asarray(grid_sample_3d(vol, xyz_model)), atol=1e-6)
 
 
+def test_sample_occupied_equals_trilinear_positive():
+    """The 1-gather dilated occupancy test must equal `trilinear > 0` at
+    generic (non-grid-aligned) coords, and be a superset at aligned coords."""
+    rng = np.random.RandomState(4)
+    vol = jnp.asarray((rng.rand(9, 7, 8) > 0.6).astype(np.float32))
+    state = {"volume": vol, "dilated": kplane.corner_dilate(vol),
+             "aabb": jnp.asarray([[-2.0] * 3, [2.0] * 3], jnp.float32)}
+    # in-range generic coords (the only coords production feeds the test:
+    # render samples are in-box and the mask aabb contains the model aabb):
+    # exact equality with trilinear>0
+    c_in = rng.uniform(-0.999, 0.999, (500, 3)).astype(np.float64) + 1e-4
+    c_in = jnp.asarray(np.clip(c_in, -0.999, 0.999).astype(np.float32))
+    tri = np.asarray(kplane.sample_alpha(state, c_in) > 0)
+    dil = np.asarray(kplane.sample_occupied(state, c_in))
+    np.testing.assert_array_equal(dil, tri)
+    # out-of-range coords: dilated is a weak superset (never drops a kept one)
+    c = jnp.asarray((rng.uniform(-1.3, 1.3, (500, 3)) + 1e-4).astype(np.float32))
+    tri_o = np.asarray(kplane.sample_alpha(state, c) > 0)
+    dil_o = np.asarray(kplane.sample_occupied(state, c))
+    assert (dil_o | ~tri_o).all()
+    # grid-aligned coords: dilated is a (weak) superset
+    W = 8
+    xs = jnp.asarray(
+        np.stack(np.meshgrid(*[np.linspace(-1, 1, 5)] * 3, indexing="ij"),
+                 -1).reshape(-1, 3).astype(np.float32))
+    tri_a = np.asarray(kplane.sample_alpha(state, xs) > 0)
+    dil_a = np.asarray(kplane.sample_occupied(state, xs))
+    assert (dil_a | ~tri_a).all()  # no sample kept by trilinear is dropped
+
+    # numpy probe replica agrees with the jax production test
+    got = turbo.dilated_occupied_np(np.asarray(vol), np.asarray(c, np.float64))
+    np.testing.assert_array_equal(got, dil_o)
+
+
 def test_trilinear_np_matches_jax():
     rng = np.random.RandomState(1)
     vol = rng.rand(7, 5, 6).astype(np.float32)
