@@ -440,7 +440,10 @@ def make_train_step_shard_map(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str,
     """
     import dataclasses
 
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     D = int(mesh.devices.size)
@@ -723,6 +726,28 @@ class Trainer:
                 key_frames = self._keyframe_frames()
                 pool_key = jnp.asarray(key_frames, dtype=jnp.int32)
                 self._check_train_times()
+                if self.turbo and self.meta.train_occupancy_prune and self.alpha_state is not None:
+                    # re-probe at the new grid scale: n_samples / block count
+                    # changed, so the stage budgets calibrated at the last
+                    # alpha event are stale (typically too conservative —
+                    # finer sample axes lower the active-block fraction)
+                    budget, shade = turbo_mod.measure_block_budget(
+                        self.meta, self.alpha_state,
+                        np.stack([np.asarray(p, dtype=np.float32)
+                                  for p in self.all_poses[self.split]]),
+                        self.H, self.W, self.focal, hp.n_rays,
+                        with_shade=True,
+                    )
+                    if self.turbo_budget:
+                        budget = self.turbo_budget
+                    self.meta = _dc_replace(
+                        self.meta, block_budget=float(budget),
+                        shade_fraction=float(shade),
+                    )
+                    print(f"[turbo] upsample@{it}: block_budget="
+                          f"{self.meta.block_budget:.3f} "
+                          f"shade_fraction={self.meta.shade_fraction:.3f}",
+                          flush=True)
                 self._step_cache = {}
                 step_fn = self._get_step_fn(vel_pts)
                 # reference resets Adam state and (by default) the lr decay

@@ -221,7 +221,9 @@ def run_ours(iters: int):
             f.write(ref_cfg(iters))
     cfg = load_config(cfg_path, ["experiment.print_every", str(PRINT_EVERY),
                                  "experiment.train_iters", str(iters),
-                                 "experiment.save_every", str(iters - 1),
+                                 # frequent saves: the axon tunnel can wedge
+                                 # mid-run (CLAUDE.md); keep progress restorable
+                                 "experiment.save_every", "500",
                                  # bit-faithful ray-start rule for parity runs
                                  # (VERDICT weak #4; kplane.parity_sampling)
                                  "nvfi.parity_sampling", "true",
