@@ -441,7 +441,12 @@ def make_train_step_shard_map(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str,
     import dataclasses
 
     try:
-        from jax import shard_map  # jax >= 0.8
+        from jax import shard_map as _new_shard_map  # jax >= 0.8
+
+        def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
+            # the stable API renamed check_rep -> check_vma
+            return _new_shard_map(f, mesh=mesh, in_specs=in_specs,
+                                  out_specs=out_specs, check_vma=check_rep)
     except ImportError:  # pragma: no cover - older jax
         from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
