@@ -555,6 +555,29 @@ class Trainer:
         self._upload_buffers(split)
         self._check_train_times()
 
+    def _reprobe_turbo(self, tag: str):
+        """Re-calibrate the block/shade budgets for the CURRENT meta/mask.
+        Called at alpha events, at upsamples (the sample axis refines), and
+        on restore (a resumed run must not inherit stale budgets)."""
+        if not (self.turbo and self.meta.train_occupancy_prune
+                and self.alpha_state is not None):
+            return
+        budget, shade = turbo_mod.measure_block_budget(
+            self.meta, self.alpha_state,
+            np.stack([np.asarray(p, dtype=np.float32)
+                      for p in self.all_poses[self.split]]),
+            self.H, self.W, self.focal, self.hp.n_rays,
+            with_shade=True,
+        )
+        if self.turbo_budget:
+            budget = self.turbo_budget
+        self.meta = _dc_replace(
+            self.meta, block_budget=float(budget), shade_fraction=float(shade)
+        )
+        self._step_cache = {}
+        print(f"[turbo] {tag}: block_budget={self.meta.block_budget:.3f} "
+              f"shade_fraction={self.meta.shade_fraction:.3f}", flush=True)
+
     def _check_train_times(self):
         """Training advection takes ONE RK2 step (kplane.render_rays) on the
         guarantee |t - snap(t)| <= dt_max after keyframe snapping; verify the
@@ -696,29 +719,14 @@ class Trainer:
                     self.l1_base = hp.L1_weight_reset
                     self.l1_step0 = it + 1
                 if self.turbo:
-                    budget, shade = turbo_mod.measure_block_budget(
-                        self.meta, self.alpha_state,
-                        np.stack([np.asarray(p, dtype=np.float32)
-                                  for p in self.all_poses[self.split]]),
-                        self.H, self.W, self.focal, hp.n_rays,
-                        with_shade=True,
-                    )
-                    if self.turbo_budget:
-                        budget = self.turbo_budget
                     # the probed shade fraction provably covers every
                     # above-threshold sample (occupied-count bound), making
-                    # the shade top-K exact — use it directly, whether below
+                    # the shade top-K exact — used directly, whether below
                     # the 0.25 default (faster) or above it (more exact)
-                    self.meta = _dc_replace(
-                        self.meta, train_occupancy_prune=True,
-                        block_budget=float(budget),
-                        shade_fraction=float(shade),
-                    )
+                    self.meta = _dc_replace(self.meta, train_occupancy_prune=True)
                     occ = float(np.asarray(self.alpha_state["volume"]).mean())
-                    print(f"[turbo] stage@{it}: occupancy={occ:.3f} "
-                          f"block_budget={self.meta.block_budget:.3f} "
-                          f"shade_fraction={self.meta.shade_fraction:.3f}",
-                          flush=True)
+                    print(f"[turbo] stage@{it}: occupancy={occ:.3f}", flush=True)
+                    self._reprobe_turbo(f"stage@{it}")
                 self._step_cache = {}
                 step_fn = self._get_step_fn(vel_pts)
                 opt_state = optim.init_state(self.params)
@@ -731,28 +739,11 @@ class Trainer:
                 key_frames = self._keyframe_frames()
                 pool_key = jnp.asarray(key_frames, dtype=jnp.int32)
                 self._check_train_times()
-                if self.turbo and self.meta.train_occupancy_prune and self.alpha_state is not None:
-                    # re-probe at the new grid scale: n_samples / block count
-                    # changed, so the stage budgets calibrated at the last
-                    # alpha event are stale (typically too conservative —
-                    # finer sample axes lower the active-block fraction)
-                    budget, shade = turbo_mod.measure_block_budget(
-                        self.meta, self.alpha_state,
-                        np.stack([np.asarray(p, dtype=np.float32)
-                                  for p in self.all_poses[self.split]]),
-                        self.H, self.W, self.focal, hp.n_rays,
-                        with_shade=True,
-                    )
-                    if self.turbo_budget:
-                        budget = self.turbo_budget
-                    self.meta = _dc_replace(
-                        self.meta, block_budget=float(budget),
-                        shade_fraction=float(shade),
-                    )
-                    print(f"[turbo] upsample@{it}: block_budget="
-                          f"{self.meta.block_budget:.3f} "
-                          f"shade_fraction={self.meta.shade_fraction:.3f}",
-                          flush=True)
+                # re-probe at the new grid scale: n_samples / block count
+                # changed, so the budgets calibrated at the last alpha event
+                # are stale (typically too conservative — finer sample axes
+                # lower the active-block fraction)
+                self._reprobe_turbo(f"upsample@{it}")
                 self._step_cache = {}
                 step_fn = self._get_step_fn(vel_pts)
                 # reference resets Adam state and (by default) the lr decay
@@ -799,4 +790,6 @@ class Trainer:
             int(v) for v in extra.get("reso_mask", self.meta.grid_size)
         )
         self._step_cache = {}
+        # a resumed turbo run must not inherit stale checkpointed budgets
+        self._reprobe_turbo(f"restore@{self.global_step}")
         return opt_state
