@@ -105,6 +105,9 @@ def main():
         budget, shade = turbo_mod.measure_block_budget(
             trainer.meta, alpha_state, poses, H, W, dataset[6][2], n_rays,
             with_shade=True)
+        # same policy as Trainer._reprobe_turbo: the probed exact shade bound
+        # capped at the quality-evidenced config fraction
+        shade = min(shade, trainer.meta.shade_fraction)
         trainer.alpha_state = alpha_state
         trainer.meta = replace(trainer.meta, train_occupancy_prune=True,
                                block_budget=float(budget),
