@@ -17,6 +17,8 @@ Usage: python scripts/perf_ablate.py  (TPU; keep it the only TPU process)
 
 from __future__ import annotations
 
+import dataclasses
+import os
 import sys
 import time
 
@@ -69,6 +71,89 @@ def timed(name, fn, args, n=5):
           flush=True)
     return dt
 
+
+
+def turbo_main(budget: float, shade: float):
+    """Component breakdown of the TURBO chunk (real exported occupancy).
+
+    The dense table above models a 2x32x45.1ms + 30ms = 2917 ms step, but the
+    measured turbo step is ~1826 ms (~28 ms/chunk) — this probe attributes the
+    turbo chunk's cost so the residual over the gather speed-of-light
+    (docs/pallas_decision.md §5) points at the next lever.  Needs
+    assets/bench_alpha.npz (exported from the 30k turbo run).
+    """
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import load_alpha_asset
+
+    asset = load_alpha_asset()
+    assert asset is not None, "run scripts/export_bench_alpha.py first"
+    alpha_state, model_aabb, _ = asset
+    alpha_state["dilated"] = kplane.corner_dilate(alpha_state["volume"])
+
+    aabb = np.asarray(model_aabb)
+    base = make_meta(shade_fraction=shade)
+    meta = dataclasses.replace(
+        base,
+        grid_size=tuple(n_to_reso(8_000_000, aabb)),
+        aabb=(tuple(float(v) for v in aabb[0]),
+              tuple(float(v) for v in aabb[1])),
+        train_occupancy_prune=True, block_budget=float(budget))
+    occ = float(np.asarray(alpha_state["volume"]).mean())
+    print(f"device={jax.devices()[0]} grid={meta.grid_size} S={meta.n_samples} "
+          f"budget={budget} shade={shade} occ={occ:.4f}", flush=True)
+    params = kplane.init_params(jax.random.PRNGKey(0), meta)
+    key = jax.random.PRNGKey(1)
+
+    center = aabb.mean(axis=0)
+    rng = np.random.RandomState(0)
+    n = 256
+    ro = np.tile((center + np.array([0.0, 0.0, 4.0])).astype(np.float32), (n, 1))
+    d = center[None] + rng.randn(n, 3).astype(np.float32) * 0.5 - ro
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    ro, rd = jnp.asarray(ro), jnp.asarray(d)
+    t = jnp.asarray(rng.rand(n).astype(np.float32) * 0.75)
+
+    def loss(params, t, ro, rd, key, m, advect, out_key):
+        out = kplane.render_rays(params, m, t, ro, rd, key=key, training=True,
+                                 white_bg=True, advect=advect,
+                                 alpha_state=alpha_state)
+        return jnp.sum(out[out_key]), out["dropped_blocks"]
+
+    @jax.jit
+    def probe_active(params, t, ro, rd, key):
+        out = kplane.render_rays(params, meta, t, ro, rd, key=key,
+                                 training=True, white_bg=True,
+                                 alpha_state=alpha_state)
+        return out["dropped_blocks"] * 1.0
+
+    print(f"dropped at budget={budget}: {float(probe_active(params, t, ro, rd, key)):.0f}",
+          flush=True)
+
+    def g(m, advect, out_key):
+        def f(params, t, ro, rd, key):
+            grads = jax.grad(
+                lambda *a: loss(*a)[0])(params, t, ro, rd, key, m, advect, out_key)
+            return sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(grads))
+        return jax.jit(f)
+
+    def fwd(m):
+        return jax.jit(lambda p, t, ro, rd, key: loss(p, t, ro, rd, key, m, True, "rgb")[0])
+
+    mk = lambda **kw: dataclasses.replace(meta, **kw)
+
+    timed("Tu fwd rgb", fwd(meta), (params, t, ro, rd, key))
+    timed("Tu acc-grad (density)", g(meta, True, "acc"), (params, t, ro, rd, key))
+    timed("Tu acc-grad no-advect", g(meta, False, "acc"), (params, t, ro, rd, key))
+    tu = timed("Tu rgb-grad (the chunk)", g(meta, True, "rgb"), (params, t, ro, rd, key))
+    timed("Tu rgb-grad no-advect", g(meta, False, "rgb"), (params, t, ro, rd, key))
+    timed("Tu rgb-grad dense-shade", g(mk(shade_fraction=1.0), True, "rgb"),
+          (params, t, ro, rd, key))
+    timed("Tu rgb-grad shade=0.05", g(mk(shade_fraction=0.05), True, "rgb"),
+          (params, t, ro, rd, key))
+    timed("Tu rgb-grad budget=1.0", g(mk(block_budget=1.0), True, "rgb"),
+          (params, t, ro, rd, key))
+    print(f"step estimate 2x32 turbo chunks = {2 * 32 * tu * 1e3 + 30:.0f} ms "
+          f"({2 * 8192 / (2 * 32 * tu * 1e3 + 30) * 1e3:,.0f} rays/s)", flush=True)
 
 
 def main():
@@ -147,4 +232,16 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--turbo", action="store_true",
+                    help="component breakdown of the turbo chunk (needs "
+                         "assets/bench_alpha.npz)")
+    ap.add_argument("--budget", type=float, default=0.212)
+    ap.add_argument("--shade", type=float, default=0.25)
+    a = ap.parse_args()
+    if a.turbo:
+        turbo_main(a.budget, a.shade)
+    else:
+        main()

@@ -18,6 +18,14 @@ T=3600 run python -u scripts/export_bench_alpha.py \
 
 T=3600 run python -u bench.py > $LOG/bench_r3.log 2>&1
 
+# jax moved to 0.9.0 this round: re-probe the Mosaic dynamic row-gather
+# (NEXT.md lever #1) and attribute the turbo chunk's residual cost against
+# the real exported occupancy (needs step 1's bench_alpha.npz).
+T=1800 run python -u scripts/perf_micro2.py > $LOG/perf_micro2_jax09.log 2>&1
+
+T=2700 run python -u scripts/perf_ablate.py --turbo \
+    > $LOG/perf_ablate_turbo.log 2>&1
+
 T=5400 run python -u scripts/eval_all.py --scene_dir logs/synth/bat30k_turbo \
     --res 128 --frames 128 > $LOG/eval_all_30k_turbo.log 2>&1
 
