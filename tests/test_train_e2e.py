@@ -308,3 +308,30 @@ def test_checkpoint_resume_across_stage_boundary(tiny_scene, tmp_path):
     m = tr2.train(iters=5)  # would IndexError before the fix
     assert np.isfinite(float(m["loss"]))
     assert tr2.meta.grid_size == tr.meta.grid_size
+
+
+def test_turbo_reprobe_caps_shade_at_config(tiny_scene):
+    """The turbo budget re-probe returns a PROVABLE per-ray shade bound, but
+    on high-occupancy masks that bound approaches dense shading (measured
+    0.82 on bat at final scale).  The policy caps it at the config's
+    shade_fraction — the truncating configuration that carries the 30k-run
+    quality evidence — while keeping any probed bound that comes in lower."""
+    from dataclasses import replace
+    from nvfi_tpu.train.trainer import Trainer
+
+    cfg = small_cfg(**{"nvfi.turbo": True})
+    tr = Trainer(cfg, tiny_scene, mode="static_dynamic")
+    # before the first alpha event turbo runs dense (budgets un-probed)
+    assert tr.meta.block_budget == 1.0
+    assert not tr.meta.train_occupancy_prune
+
+    # an all-occupied mask makes the probed shade bound ~1.0 (near-dense)
+    tr.alpha_state = {
+        "volume": jnp.ones((16, 16, 16), jnp.float32),
+        "aabb": jnp.asarray([[-2.0, -2.0, -2.0], [2.0, 2.0, 2.0]],
+                            jnp.float32),
+    }
+    tr.meta = replace(tr.meta, train_occupancy_prune=True)
+    tr._reprobe_turbo("test")
+    assert tr.meta.shade_fraction == pytest.approx(0.25)  # capped at config
+    assert 0.0 < tr.meta.block_budget <= 1.0
