@@ -36,6 +36,7 @@ def save_gif_time_sweep(
     """
     import imageio
 
+    meta = kplane.eval_exact_meta(meta)
     _, all_poses, _, counts, _, _, (H, W, focal) = dataset[:7]
     split = "val" if counts.get("val") else "test"
     stride = max(1, int(np.ceil(max(H, W) / max_res)))
@@ -75,27 +76,25 @@ def render_split(
 ):
     """Render all views of a split; returns (preds (N,H,W,3), metrics dict).
 
-    ``sparse_budget``: block-sparse budget for the eval renders. None (the
-    default) auto-enables a generous 0.5 budget when an alpha mask is active
-    (most 64-sample blocks are empty, so the sparse path is a pure speedup);
-    pass 0 to force the dense exact path.  Either way exactness is ENFORCED:
-    any render that drops an active block or an above-threshold shade sample
-    raises instead of feeding an inexact image into the metric tables.
+    The meta's training-time turbo budgets are RESET (``kplane.eval_exact_meta``)
+    — a turbo checkpoint's probed budgets are calibrated for train rays and
+    can truncate full-frame eval renders.  ``sparse_budget``: opt-in
+    block-sparse budget for faster eval renders (e.g. 0.5); exactness is still
+    ENFORCED: any render that drops an active block or an above-threshold
+    shade sample raises instead of feeding an inexact image into the metric
+    tables.
     """
     all_imgs, all_poses, all_times, counts, _, _, (H, W, focal) = dataset[:7]
+    meta = kplane.eval_exact_meta(meta)
     if update_alpha and alpha_state is None:
         alpha_state, _ = kplane.update_alpha_mask(
             params, meta, tuple(min(g, alpha_grid) for g in meta.grid_size),
             transfer=transfer_vel,
         )
-    if not (0.0 < meta.block_budget < 1.0):
+    if sparse_budget:
         from dataclasses import replace
 
-        if sparse_budget:
-            meta = replace(meta, block_budget=float(sparse_budget))
-        elif (sparse_budget is None and alpha_state is not None
-              and meta.ray_sampling == "box"):
-            meta = replace(meta, block_budget=0.5)
+        meta = replace(meta, block_budget=float(sparse_budget))
     if savedir:
         os.makedirs(savedir, exist_ok=True)
 

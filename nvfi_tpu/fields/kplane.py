@@ -203,6 +203,22 @@ def render_steps_for_time(meta: KPlaneMeta, t: float, transfer: bool = False) ->
     return max(1, int(math.ceil((float(t) - meta.tmax) / meta.dt_max - 1e-9)) + 1)
 
 
+def eval_exact_meta(meta: KPlaneMeta) -> KPlaneMeta:
+    """Strip TRAINING-time turbo budgets off a meta for exact eval renders.
+
+    A checkpoint restored from a turbo run carries the budgets the trainer
+    probed for its OWN ray distribution (``block_budget`` from train-pose
+    probe batches, ``shade_fraction`` capped for throughput) — valid there
+    because the per-step dropped counters certify them.  Eval renders draw
+    full-frame rays from different poses, where those budgets can truncate
+    (observed on the 30k turbo scene's time-sweep rendering); metric renders
+    must instead run the dense bit-exact path.  Callers that want sparse eval
+    speedups re-enable a budget explicitly and keep the dropped-counter
+    guard."""
+    return replace(meta, train_occupancy_prune=False, block_budget=1.0,
+                   shade_fraction=1.0)
+
+
 def meta_from_cfg(nvfi_cfg, aabb, grid_size, near_far) -> KPlaneMeta:
     """Build meta from a reference-schema ``cfg.nvfi`` block."""
     if "sur_x" in nvfi_cfg:

@@ -50,6 +50,7 @@ def main():
     path = ckpt_mod.find_checkpoint(logdir, args.checkpoint)
     assert path, f"no checkpoint under {logdir}"
     params, meta, _, _, _ = ckpt_mod.load(path)
+    meta = kplane.eval_exact_meta(meta)  # strip training turbo budgets
     params = jax.tree.map(jnp.asarray, params)
     print(f"[video] ckpt {path} grid {meta.grid_size} K {meta.num_keyframes}")
 

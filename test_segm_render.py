@@ -50,6 +50,7 @@ def main():
     path = ckpt_mod.find_checkpoint(scene_logdir, args.checkpoint)
     assert path, f"no NVFi checkpoint under {scene_logdir}"
     params, meta, _, _, _ = ckpt_mod.load(path)
+    meta = kplane.eval_exact_meta(meta)  # strip training turbo budgets
     params = jax.tree.map(jnp.asarray, params)
 
     segm_dir = os.path.join("logs_segm", f"{cfg.wandb.name}_k={cfg.segmentation.n_object}")

@@ -335,3 +335,24 @@ def test_turbo_reprobe_caps_shade_at_config(tiny_scene):
     tr._reprobe_turbo("test")
     assert tr.meta.shade_fraction == pytest.approx(0.25)  # capped at config
     assert 0.0 < tr.meta.block_budget <= 1.0
+
+
+def test_render_split_resets_training_turbo_budgets(tiny_scene):
+    """Eval renders from a turbo checkpoint's meta must be exact: the
+    training-probed block/shade budgets are calibrated for train rays and can
+    truncate full-frame eval views (observed on the 30k turbo scene), and
+    render_split raises on any drop — so it must strip them first."""
+    from dataclasses import replace
+    from nvfi_tpu.eval.harness import render_split
+    from nvfi_tpu.train.trainer import Trainer
+
+    cfg = small_cfg()
+    tr = Trainer(cfg, tiny_scene, mode="static_dynamic")
+    tr.train(iters=2)
+    # absurdly small budgets: would certainly truncate (and so raise) if used
+    meta_turbo = replace(tr.meta, train_occupancy_prune=True,
+                         block_budget=0.05, shade_fraction=0.02)
+    preds, errors = render_split(tr.params, meta_turbo, tiny_scene[:7], "val",
+                                 white_bg=True, alpha_grid=16)
+    assert np.isfinite(preds).all()
+    assert np.isfinite(errors["psnr"])
