@@ -26,7 +26,7 @@ def save_png(path: str, img: np.ndarray):
 
 def save_gif_time_sweep(
     params, meta: kplane.KPlaneMeta, dataset, path: str, *, white_bg: bool,
-    n_frames: int = 16, view: int = 0, max_res: int = 128, chunk: int = 8192,
+    n_frames: int = 16, view: int = 0, max_res: int = 128, chunk: int = 4096,
     transfer_vel: bool = False, alpha_state=None,
 ):
     """Render a fixed val/test pose swept over t in [0, 1] and save a GIF
@@ -68,7 +68,7 @@ def render_split(
     update_alpha: bool = True,
     transfer_vel: bool = False,
     savedir: str | None = None,
-    chunk: int = 8192,
+    chunk: int = 4096,
     mask_params=None,
     alpha_grid: int = 200,
     max_views: int = 0,
