@@ -43,10 +43,14 @@ def render_image(
     transfer_vel: bool = False,
     alpha_state=None,
     mask_params=None,
-    chunk: int = 8192,
+    chunk: int = 4096,
     key=None,
 ):
     """Render a full image (eval mode, no stratified jitter, alpha pruning on).
+
+    The 4096-ray default is the largest chunk whose DENSE exact render fits
+    the 15.75G HBM at the reference's final model scale (an 8192-ray dense
+    chunk compiles to 18.1G of HLO temp there).
 
     Args:
       rays_o, rays_d: (H, W, 3) host arrays (from rays.ray_bundle).
