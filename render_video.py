@@ -29,6 +29,9 @@ def main():
     parser.add_argument("--outdir", type=str, default="")
     parser.add_argument("--alpha_grid", type=int, default=128)
     parser.add_argument("--depth", action="store_true", help="also save depth maps")
+    parser.add_argument("--scene_dir", type=str, default="",
+                        help="override checkpoint dir (default: "
+                             "<logdir>/<project>/<name>, as the other drivers)")
     args = parser.parse_args()
 
     import jax
@@ -44,7 +47,7 @@ def main():
     from nvfi_tpu.utils.viz import visualize_depth
 
     cfg = load_config(args.config)
-    logdir = os.path.join(
+    logdir = args.scene_dir or os.path.join(
         str(cfg.experiment.logdir), str(cfg.wandb.project), str(cfg.wandb.name)
     )
     path = ckpt_mod.find_checkpoint(logdir, args.checkpoint)
