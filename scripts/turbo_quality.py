@@ -45,7 +45,11 @@ def main():
     from nvfi_tpu.train.trainer import Trainer
 
     cfg = load_config(args.config)
-    cfg.experiment.pde_mask_filter = 1  # fastest turbo variant; see TrainHP
+    # NOTE: production turbo uses the default estimator-preserving PDE
+    # prefilter (pde_prefilter), NOT pde_mask_filter — the round-2 "fastest
+    # variant" flag predates the round-3 stratified/prefilter PDE rewrite and
+    # measures as a large slowdown on top of it (logs/turbo_quality_shade125.log:
+    # turbo leg 1247 ms/step vs production 0.35 s/it at the same budgets).
     cfg.nvfi.compute_dtype = "bfloat16"
     cfg.renderer.batch_size = 262144
     cfg.experiment.validate_every = 10**9
