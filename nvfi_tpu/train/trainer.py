@@ -85,6 +85,10 @@ class TrainHP:
     # Measured trade-off on the converged bat scene: ~-0.4 dB test PSNR after
     # a 600-iter continuation (the time-maxed mask keeps a superset of
     # points, diluting the PDE loss) — default OFF; see logs/turbo_quality*.log
+    # OBSOLETE since the stratified/prefilter PDE rewrite: it now also
+    # MEASURES SLOWER (bypasses the occupancy-routed prefilter; the turbo leg
+    # of turbo_quality ran 5x slower with it, logs/turbo_quality_shade125*.log)
+    # — kept only so old configs load; superseded by pde_prefilter.
     pde_prefilter: bool = True  # turbo-only, estimator-preserving: the alpha
     # volume ROUTES the Jacobian budget (cheap pre-screen), and the
     # reference's exact advect+density filter runs on just the selected

@@ -196,3 +196,26 @@ def test_extrapolation_advection_covers_past_tmax():
     np.testing.assert_allclose(
         np.asarray(adv1), np.asarray(xyz) - meta.dt_max * np.array([c, 0, 0]),
         atol=1e-5)
+
+
+def test_eval_exact_meta_strips_turbo_budgets():
+    """Eval meta normalization: training turbo budgets are reset to the dense
+    bit-exact path; everything else (geometry, sampling semantics) is kept."""
+    from dataclasses import replace
+    from nvfi_tpu.fields import kplane
+
+    meta = kplane.KPlaneMeta(
+        grid_size=(16,) * 3, num_keyframes=4, tmax=0.75,
+        aabb=((-2.0,) * 3, (2.0,) * 3), near_far=(2.0, 6.0),
+        density_n_comp=8, app_n_comp=8, app_dim=8, density_shift=-10.0,
+        distance_scale=25.0, alpha_mask_thres=1e-4,
+        raymarch_weight_thres=1e-4, max_n_samples=48,
+    )
+    turbo = replace(meta, train_occupancy_prune=True, block_budget=0.3,
+                    shade_fraction=0.1, parity_sampling=True)
+    e = kplane.eval_exact_meta(turbo)
+    assert e.block_budget == 1.0
+    assert e.shade_fraction == 1.0
+    assert not e.train_occupancy_prune
+    assert e.parity_sampling  # geometry semantics preserved
+    assert e.grid_size == turbo.grid_size and e.n_samples == turbo.n_samples
