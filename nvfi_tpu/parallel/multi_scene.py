@@ -23,7 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..fields import kplane
 from ..train import optim
-from ..train.trainer import TrainHP, make_train_step
+from ..train.trainer import TrainHP, init_counters, make_train_step
 
 
 def stack_scenes(scene_params: list) -> dict:
@@ -116,6 +116,10 @@ class MultiSceneTrainer:
         self.key = jax.random.PRNGKey(seed + 1)
         self.rng = np.random.RandomState(seed)
         self.global_step = 0
+        # per-scene exactness counters (stacked on the scene axis)
+        self.counters = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (self.n_scenes,)), init_counters()
+        )
         self._build_step()
 
     def _build_step(self):
@@ -126,16 +130,17 @@ class MultiSceneTrainer:
         # make_train_step returns a jitted fn; vmap of jit is fine in jax
         n_frames = self.n_frames
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def step(params, opt_state, keys, frame_idx, key_idx, global_step,
-                 poses, images, times, pool_all, pool_key, l1_base, l1_step0):
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def step(params, opt_state, counters, keys, frame_idx, key_idx,
+                 global_step, poses, images, times, pool_all, pool_key,
+                 l1_base, l1_step0):
             return jax.vmap(
                 inner,
-                in_axes=(0, 0, 0, 0, 0, None, 0, 0, 0, None, None, None, None,
-                         None),
-            )(params, opt_state, keys, frame_idx, key_idx, global_step,
-              poses, images, times, pool_all, pool_key, l1_base, l1_step0,
-              jnp.zeros(()))
+                in_axes=(0, 0, 0, 0, 0, 0, None, 0, 0, 0, None, None, None,
+                         None, None),
+            )(params, opt_state, counters, keys, frame_idx, key_idx,
+              global_step, poses, images, times, pool_all, pool_key, l1_base,
+              l1_step0, jnp.zeros(()))
 
         self._step = step
 
@@ -158,10 +163,11 @@ class MultiSceneTrainer:
             k_idx = jnp.asarray(
                 key_frames[self.rng.randint(len(key_frames), size=n)], jnp.int32
             )
-            self.params, self.opt_state, metrics = self._step(
-                self.params, self.opt_state, keys, f_idx, k_idx, jnp.int32(it),
-                self.poses, self.images, self.times, pool_all, pool_key,
-                jnp.float32(self.hp.L1_weight_initial), jnp.float32(0.0),
+            self.params, self.opt_state, self.counters, metrics = self._step(
+                self.params, self.opt_state, self.counters, keys, f_idx, k_idx,
+                jnp.int32(it), self.poses, self.images, self.times, pool_all,
+                pool_key, jnp.float32(self.hp.L1_weight_initial),
+                jnp.float32(0.0),
             )
             if log_fn and it % self.hp.print_every == 0:
                 log_fn({k2: np.asarray(v) for k2, v in metrics.items()} | {"it": it})

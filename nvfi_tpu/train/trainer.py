@@ -367,6 +367,25 @@ def make_loss_fn(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str, H: int, W: int
     return loss_fn
 
 
+def init_counters():
+    """Fresh device-side exactness counters: running max over steps of the
+    per-step dropped_blocks / dropped_shade metrics (zeros when the step has
+    no sparse budgets)."""
+    return {
+        "dropped_blocks": jnp.zeros(()),
+        "dropped_shade": jnp.zeros(()),
+    }
+
+
+def update_counters(counters, metrics):
+    """Fold one step's dropped counters into the running max (in-jit; the
+    metrics dict statically omits counters the config doesn't enable)."""
+    return {
+        k: jnp.maximum(counters[k], metrics[k]) if k in metrics else counters[k]
+        for k in counters
+    }
+
+
 def _optimizer_update(params, grads, opt_state, hp: TrainHP, mode: str, global_step):
     """Per-group Adam update with the reference's decay semantics (shared by
     both SPMD step variants)."""
@@ -395,10 +414,17 @@ def make_train_step(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str, H: int, W: 
     sharding constraints on the ray batch; XLA inserts the ICI all-reduce).
 
     The returned function has signature
-      (params, opt_state, key, frame_idx, key_frame_idx, global_step,
+      (params, opt_state, counters, key, frame_idx, key_frame_idx, global_step,
        poses (F,4,4), images (F,H,W,3), times (F,), pool_all, pool_key,
        l1_base, l1_step0, alpha_state)
-      -> (params, opt_state, metrics_dict)
+      -> (params, opt_state, counters, metrics_dict)
+
+    ``counters`` is the device-side running max of the per-step
+    dropped_blocks/dropped_shade exactness counters (see ``init_counters``):
+    updating it INSIDE the jitted step means every one of the unlogged steps
+    between metric fetches is covered, with zero extra host round trips — the
+    Trainer checks it at each metric fetch and stage boundary (advisor
+    round-3 finding: the counters used to be observed only on logged steps).
     """
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -413,18 +439,19 @@ def make_train_step(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str, H: int, W: 
     loss_fn = make_loss_fn(meta, hp, mode, H, W, focal, vel_pts, use_alpha,
                            constrain)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, key, frame_idx, key_frame_idx, global_step,
-                   poses, images, times, pool_all, pool_key, l1_base, l1_step0,
-                   alpha_state):
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step(params, opt_state, counters, key, frame_idx, key_frame_idx,
+                   global_step, poses, images, times, pool_all, pool_key,
+                   l1_base, l1_step0, alpha_state):
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
             params, key, frame_idx, key_frame_idx, global_step, poses, images,
             times, pool_all, pool_key, l1_base, l1_step0, alpha_state
         )
+        counters = update_counters(counters, metrics)
         params, opt_state = _optimizer_update(
             params, grads, opt_state, hp, mode, global_step
         )
-        return params, opt_state, metrics
+        return params, opt_state, counters, metrics
 
     return train_step
 
@@ -479,20 +506,21 @@ def make_train_step_shard_map(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str,
 
     replicated = P()
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, key, frame_idx, key_frame_idx, global_step,
-                   poses, images, times, pool_all, pool_key, l1_base, l1_step0,
-                   alpha_state):
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step(params, opt_state, counters, key, frame_idx, key_frame_idx,
+                   global_step, poses, images, times, pool_all, pool_key,
+                   l1_base, l1_step0, alpha_state):
         grads, metrics = shard_map(
             shard_body, mesh=mesh,
             in_specs=(replicated,) * 13, out_specs=replicated,
             check_rep=False,
         )(params, key, frame_idx, key_frame_idx, global_step, poses, images,
           times, pool_all, pool_key, l1_base, l1_step0, alpha_state)
+        counters = update_counters(counters, metrics)
         params, opt_state = _optimizer_update(
             params, grads, opt_state, hp, mode, global_step
         )
-        return params, opt_state, metrics
+        return params, opt_state, counters, metrics
 
     return train_step
 
@@ -526,8 +554,11 @@ class Trainer:
         # the dense parity path until the FIRST alpha-mask stage event, then
         # engages occupancy-pruned sampling + the block-sparse sample axis
         # with a per-stage budget calibrated by a host-side probe
-        # (train/turbo.py) — exactness certified per step by the
-        # 'dropped_blocks' metric staying 0.
+        # (train/turbo.py) — block exactness certified by a device-side
+        # running max of the per-step 'dropped_blocks' counter, checked at
+        # every metric fetch and stage boundary (_check_counters); the
+        # shade top-K truncation accepted by the config cap is quantified
+        # the same way via 'dropped_shade'.
         self.turbo = bool(cfg.nvfi.get("turbo", False))
         self.turbo_budget = float(cfg.nvfi.get("turbo_budget", 0.0))  # 0=probe
         self._shade_cap = float(self.meta.shade_fraction)
@@ -541,6 +572,7 @@ class Trainer:
         self.key, k_init = jax.random.split(self.key)
         self.params = kplane.init_params(k_init, self.meta)
         self.alpha_state = None
+        self.counters = init_counters()
         self.global_step = 0
         # L1 weight state: (base, step0) — switched at the first alpha-mask
         # event (reference train_nvfi.py:338-340)
@@ -591,6 +623,37 @@ class Trainer:
         self._step_cache = {}
         print(f"[turbo] {tag}: block_budget={self.meta.block_budget:.3f} "
               f"shade_fraction={self.meta.shade_fraction:.3f}", flush=True)
+
+    def _check_counters(self, tag: str, reset: bool = False) -> dict:
+        """Fetch the device-side running-max exactness counters and surface
+        violations loudly (advisor round-3 medium finding).
+
+        ``dropped_blocks`` > 0 means the block budget zeroed REAL samples on
+        some step since the last reset — the run has diverged from the dense
+        math; warn unmissably.  ``dropped_shade`` > 0 quantifies the top-K
+        truncation accepted by the config shade cap (expected early in
+        training while compositing weights are diffuse; reported per stage so
+        the accepted truncation is measured, not just sampled on logged
+        steps).  Returns {'max_dropped_blocks', 'max_dropped_shade'} floats;
+        ``reset=True`` (stage boundaries) restarts the running max.
+        """
+        db = float(self.counters["dropped_blocks"])
+        ds = float(self.counters["dropped_shade"])
+        if db > 0:
+            print(
+                f"[turbo] !!! EXACTNESS VIOLATION at {tag}: the block budget "
+                f"({self.meta.block_budget:.3f}) dropped up to {db:.0f} active "
+                "sample-blocks in a step since the last stage boundary — the "
+                "sparse step diverged from dense math; raise nvfi.turbo_budget "
+                "or re-probe", flush=True,
+            )
+        if reset:
+            if ds > 0:
+                print(f"[turbo] stage truncation at {tag}: max dropped_shade="
+                      f"{ds:.0f} samples/step (accepted by shade cap "
+                      f"{self.meta.shade_fraction:.3f})", flush=True)
+            self.counters = init_counters()
+        return {"max_dropped_blocks": db, "max_dropped_shade": ds}
 
     def _check_train_times(self):
         """Training advection takes ONE RK2 step (kplane.render_rays) on the
@@ -679,8 +742,8 @@ class Trainer:
             self.key, k_step = jax.random.split(self.key)
             frame_idx = self.rng.randint(n_frames)
             key_idx = int(key_frames[self.rng.randint(len(key_frames))])
-            self.params, opt_state, metrics = step_fn(
-                self.params, opt_state, k_step,
+            self.params, opt_state, self.counters, metrics = step_fn(
+                self.params, opt_state, self.counters, k_step,
                 jnp.int32(frame_idx), jnp.int32(key_idx), jnp.int32(it),
                 self.poses_buf, self.images_buf, self.times_buf,
                 pool_all, pool_key,
@@ -709,6 +772,9 @@ class Trainer:
                 m["psnr_0"] = mse2psnr(m.get("rgb_loss_0", 0.0) or 1.0)
                 m["it"] = it
                 m["elapsed"] = time.time() - t_start
+                # running-max exactness counters cover EVERY step since the
+                # last reset, not just this logged one (advisor r3 finding)
+                m.update(self._check_counters(f"it={it}"))
                 log_fn(m)
 
             # validation hook (reference train_nvfi.py:275-330 renders a val
@@ -718,6 +784,7 @@ class Trainer:
 
             # -- stage events (reference train_nvfi.py:332-357) ---------------
             if it in hp.update_alphamask_list and self.mode in ("static", "static_dynamic"):
+                self._check_counters(f"alpha-stage@{it}", reset=True)
                 # the reference re-uses the CURRENT grid resolution for the
                 # mask only while its volume is < 256^3, otherwise it carries
                 # the previous mask resolution forward (train_nvfi.py:335-336)
@@ -733,10 +800,12 @@ class Trainer:
                     self.l1_base = hp.L1_weight_reset
                     self.l1_step0 = it + 1
                 if self.turbo:
-                    # the probed shade fraction provably covers every
-                    # above-threshold sample (occupied-count bound), making
-                    # the shade top-K exact — used directly, whether below
-                    # the 0.25 default (faster) or above it (more exact)
+                    # budgets come from _reprobe_turbo: the probed block
+                    # budget is used directly, while the probed (provably
+                    # exact) shade fraction is CAPPED at the config value —
+                    # accepting a truncation that the dropped_shade running
+                    # max quantifies per stage (see _reprobe_turbo's policy
+                    # note and _check_counters)
                     self.meta = _dc_replace(self.meta, train_occupancy_prune=True)
                     occ = float(np.asarray(self.alpha_state["volume"]).mean())
                     print(f"[turbo] stage@{it}: occupancy={occ:.3f}", flush=True)
@@ -746,6 +815,7 @@ class Trainer:
                 opt_state = optim.init_state(self.params)
 
             if it in hp.upsamp_list and self.mode in ("static", "static_dynamic"):
+                self._check_counters(f"upsample@{it}", reset=True)
                 n_vox = self.n_voxel_list.pop(0)
                 res_cur = n_to_reso(n_vox, self.meta.aabb_np)
                 kf_cur = self.keyframe_list.pop(0)

@@ -12,7 +12,7 @@ that is tight (throughput) but safe (exactness, certified per-step by the
 ``dropped_blocks`` counter).
 
 The numpy trilinear lookup is a bit-faithful replica of
-ops/grid_sample.grid_sample_3d (tested against it in tests/test_turbo.py).
+ops/grid_sample.grid_sample_3d (tested against it in tests/test_round3.py).
 """
 
 from __future__ import annotations
