@@ -108,15 +108,27 @@ class KPlaneMeta:
     # so the selection reproduces the reference's app_mask compaction exactly
     # while skipping ~75% of appearance gathers + shader FLOPs.
     block_budget: float = 1.0  # block-sparse sample axis: the sample axis is
-    # tiled into 64-sample blocks and only blocks containing in-box (and,
-    # when an alpha mask is active, occupied) samples are advected/gathered,
-    # under a static budget of block_budget * total blocks.  Skipped blocks
-    # contribute exactly zero (their samples are invalid => sigma 0), so with
-    # zero dropped active blocks the math is identical to the dense path —
-    # renders report 'dropped_blocks' to verify.  >=1.0 disables (dense,
-    # bit-exact parity path).  The reference pays these samples too (it
-    # compacts with boolean indexing, tensorf_base.py:310-314 + :705); this
-    # is the fixed-shape TPU equivalent at block granularity.
+    # tiled into ``sample_block``-sized blocks and only blocks containing
+    # in-box (and, when an alpha mask is active, occupied) samples are
+    # advected/gathered, under a static budget of block_budget * total blocks.
+    # Skipped blocks contribute exactly zero (their samples are invalid =>
+    # sigma 0), so with zero dropped active blocks the math is identical to
+    # the dense path — renders report 'dropped_blocks' to verify.  >=1.0
+    # disables (dense, bit-exact parity path).  The reference pays these
+    # samples too (it compacts with boolean indexing, tensorf_base.py:310-314
+    # + :705); this is the fixed-shape TPU equivalent at block granularity.
+    sample_block: int = 64  # block-sparse granularity (samples per block).
+    # Smaller blocks track the occupied chord tighter (lower calibrated
+    # block_budget => fewer gather indices) at the cost of more top_k scores;
+    # the round-3 attribution (docs/pallas_decision.md §5) identifies this as
+    # the remaining path toward the 20k rays/s bar.
+    shade_reuse: bool = True  # shade pass reuses the density pass's quad-row
+    # gathers: the density pass gathers the FULL merged channel rows (gather
+    # cost is per-index, not per-byte — docs/pallas_decision.md §2) and saves
+    # the decoded app features, so the top-K shade pass issues ZERO plane
+    # gathers (it row-selects the saved features).  Mathematically identical
+    # to the re-gather path (same rows, same product, same decode); pinned by
+    # tests/test_round4.py.  False restores the round-3 thin-gather split.
 
     # -- derived quantities (host-side python, baked into jit) --------------
     @property
@@ -268,6 +280,8 @@ def meta_from_cfg(nvfi_cfg, aabb, grid_size, near_far) -> KPlaneMeta:
         parity_sampling=bool(nvfi_cfg.get("parity_sampling", False)),
         block_budget=float(nvfi_cfg.get("block_budget", 1.0)),
         shade_fraction=float(nvfi_cfg.get("shade_fraction", 0.25)),
+        sample_block=int(nvfi_cfg.get("sample_block", 64)),
+        shade_reuse=bool(nvfi_cfg.get("shade_reuse", True)),
     )
 
 
@@ -652,7 +666,7 @@ def render_rays(
     """
     if n_samples is None:
         n_samples = meta.n_samples
-    SB = 64  # sample-block size for the block-sparse sample axis
+    SB = meta.sample_block  # sample-block size for the block-sparse sample axis
     sparse = 0.0 < meta.block_budget < 1.0
     if sparse and meta.ray_sampling != "box":
         # ndc/contracted sample positions depend on n_samples (linspace /
@@ -722,14 +736,21 @@ def render_rays(
     # Two-pass evaluation (the fixed-shape analogue of the reference's
     # ray_valid / app_mask boolean compaction, tensorf_keyframe.py:656-735):
     #
-    #   pass 1 (dense, rematerialized): advect every sample and evaluate ONLY
-    #     the density channels (thin Cd-channel quad gathers) -> weights;
+    #   pass 1 (dense, rematerialized): advect every sample and evaluate the
+    #     field.  With ``shade_reuse`` (default) this gathers the FULL merged
+    #     quad rows ONCE and saves the decoded app features alongside sigma —
+    #     gather cost is per-index, not per-byte (docs/pallas_decision.md §2),
+    #     so the wider rows are free and the shade pass below needs no plane
+    #     gathers of its own.  Without it, only the thin Cd density channels
+    #     are gathered here (round-3 behavior).
     #   pass 2 (sparse): shade only the top-K samples by compositing weight —
     #     K is a static budget; any sample above rayMarch_weight_thres that
     #     falls outside the budget is dropped (with the default 25% budget
     #     that set is empty in practice), and selected samples below the
     #     threshold are zeroed exactly like the reference's app_mask.
     cp = cast_compute(params, meta)
+    reuse = meta.shade_reuse
+    app_dt = jnp.dtype(meta.compute_dtype)
 
     def density_pass(cp, xyz, t, base_times):
         if meta.use_vel and advect:
@@ -752,9 +773,14 @@ def render_rays(
             bt = t
         xyzt_eval = jnp.concatenate([xyz_eval, normalize_time(meta, bt)], axis=-1)
         aux = {"times": t[..., 0], "time_offset": (t - base_times)[..., 0]}
-        sigma_feat = density_feature(cp, meta, xyzt_eval)
+        if reuse:
+            sigma_feat, app = field_features(cp, meta, xyzt_eval)
+        else:
+            sigma_feat = density_feature(cp, meta, xyzt_eval)
+            app = jnp.zeros(xyz.shape[:-1] + (0,), app_dt)
         sigma = feature2density(meta, sigma_feat, aux)
-        return sigma.astype(jnp.float32), xyz_eval.astype(jnp.float32)
+        return (sigma.astype(jnp.float32), xyz_eval.astype(jnp.float32),
+                app.astype(app_dt))
 
     density_pass = jax.checkpoint(density_pass)
     dropped = jnp.zeros(())
@@ -774,7 +800,7 @@ def render_rays(
             c = x.shape[-1] if x.ndim == 3 else 1
             return x.reshape(N * nb, SB * c)[sel].reshape(B * SB, c)
 
-        sigma_b, xyz_eval_b = density_pass(cp, pick(xyz), pick(t), pick(base_times))
+        sigma_b, xyz_eval_b, app_b = density_pass(cp, pick(xyz), pick(t), pick(base_times))
         sigma = (
             jnp.zeros((N * nb, SB), jnp.float32)
             .at[sel].set(sigma_b.reshape(B, SB))
@@ -785,8 +811,14 @@ def render_rays(
             .at[sel].set(xyz_eval_b.reshape(B, SB * 3))
             .reshape(N, n_samples, 3)
         )
+        AD = app_b.shape[-1]
+        app_feat = (
+            jnp.zeros((N * nb, SB * AD), app_dt)
+            .at[sel].set(app_b.reshape(B, SB * AD))
+            .reshape(N, n_samples, AD)
+        )
     else:
-        sigma, xyz_eval = density_pass(cp, xyz, t, base_times)
+        sigma, xyz_eval, app_feat = density_pass(cp, xyz, t, base_times)
     sigma = jnp.where(valid, sigma, 0.0)
 
     alpha, weight, bg_w = raw2alpha(sigma, dists * meta.distance_scale)
@@ -828,34 +860,59 @@ def render_rays(
 
         xyz_sel = take_vec(xyz_eval)
         view_sel = take_vec(viewdirs)
-        bt_sel = jnp.take_along_axis(base_times[..., 0], sel, axis=1)
         aux_sel = {
             "times": jnp.take_along_axis(t[..., 0], sel, axis=1),
             "time_offset": jnp.take_along_axis(time_offset[..., 0], sel, axis=1),
         }
 
-        def shade_pass(cp, xyz_sel, bt_sel, view_sel, aux_sel):
-            xyzt = jnp.concatenate(
-                [xyz_sel, normalize_time(meta, bt_sel)[..., None]], axis=-1
-            )
-            app = app_feature(cp, meta, xyzt)
-            return shader(cp["shader"], xyz_sel, view_sel, app, aux_sel).astype(jnp.float32)
+        if reuse:
+            # the density pass already gathered + decoded the app rows at
+            # every sample; the shade pass is just a row-select + shader MLP
+            app_sel = jnp.take_along_axis(app_feat, sel[..., None], axis=1)
 
-        shade_pass = jax.checkpoint(shade_pass)
-        rgb_sel = shade_pass(cp, xyz_sel, bt_sel, view_sel, aux_sel)
+            def shade_pass(cp, xyz_sel, app_sel, view_sel, aux_sel):
+                return shader(
+                    cp["shader"], xyz_sel, view_sel, app_sel, aux_sel
+                ).astype(jnp.float32)
+
+            shade_pass = jax.checkpoint(shade_pass)
+            rgb_sel = shade_pass(cp, xyz_sel, app_sel, view_sel, aux_sel)
+        else:
+            bt_sel = jnp.take_along_axis(base_times[..., 0], sel, axis=1)
+
+            def shade_pass(cp, xyz_sel, bt_sel, view_sel, aux_sel):
+                xyzt = jnp.concatenate(
+                    [xyz_sel, normalize_time(meta, bt_sel)[..., None]], axis=-1
+                )
+                app = app_feature(cp, meta, xyzt)
+                return shader(cp["shader"], xyz_sel, view_sel, app, aux_sel).astype(jnp.float32)
+
+            shade_pass = jax.checkpoint(shade_pass)
+            rgb_sel = shade_pass(cp, xyz_sel, bt_sel, view_sel, aux_sel)
         rgb = jnp.sum(w_top[..., None] * rgb_sel, axis=1)
     else:
+        if reuse:
 
-        def shade_dense(cp, xyz_eval, base_times, viewdirs):
-            xyzt_eval = jnp.concatenate(
-                [xyz_eval, normalize_time(meta, base_times)], axis=-1
-            )
-            aux = {"times": t[..., 0], "time_offset": time_offset[..., 0]}
-            app = app_feature(cp, meta, xyzt_eval)
-            return shader(cp["shader"], xyz_eval, viewdirs, app, aux).astype(jnp.float32)
+            def shade_dense(cp, xyz_eval, app_feat, viewdirs):
+                aux = {"times": t[..., 0], "time_offset": time_offset[..., 0]}
+                return shader(
+                    cp["shader"], xyz_eval, viewdirs, app_feat, aux
+                ).astype(jnp.float32)
 
-        shade_dense = jax.checkpoint(shade_dense)
-        rgb_pts = shade_dense(cp, xyz_eval, base_times, viewdirs)
+            shade_dense = jax.checkpoint(shade_dense)
+            rgb_pts = shade_dense(cp, xyz_eval, app_feat, viewdirs)
+        else:
+
+            def shade_dense(cp, xyz_eval, base_times, viewdirs):
+                xyzt_eval = jnp.concatenate(
+                    [xyz_eval, normalize_time(meta, base_times)], axis=-1
+                )
+                aux = {"times": t[..., 0], "time_offset": time_offset[..., 0]}
+                app = app_feature(cp, meta, xyzt_eval)
+                return shader(cp["shader"], xyz_eval, viewdirs, app, aux).astype(jnp.float32)
+
+            shade_dense = jax.checkpoint(shade_dense)
+            rgb_pts = shade_dense(cp, xyz_eval, base_times, viewdirs)
         rgb_pts = jnp.where(app_mask[..., None], rgb_pts, 0.0)
         rgb = jnp.sum(weight[..., None] * rgb_pts, axis=-2)
 

@@ -5,8 +5,9 @@ fields/kplane.py) is exact as long as no ACTIVE sample-block is dropped by the
 static ``block_budget``.  The right budget varies per stage: it depends on the
 alpha mask's occupancy, the post-shrink aabb, and the ray geometry.  This
 module measures the active-block fraction directly — replaying the training
-step's sampling math (box entry, stratified jitter, occupancy lookup, 64-block
-tiling) in numpy on probe batches — and returns a budget with a safety margin,
+step's sampling math (box entry, stratified jitter, occupancy lookup, the
+``meta.sample_block``-sized tiling) in numpy on probe batches — and returns a
+budget with a safety margin,
 so the Trainer can engage turbo at each alpha-mask stage event with a budget
 that is tight (throughput) but safe (exactness, certified per-step by the
 ``dropped_blocks`` counter).
@@ -158,7 +159,8 @@ def measure_block_budget(
     for b in range(n_batches):
         pose = poses[rng.randint(len(poses))]
         f, mo = active_block_fraction(meta, vol, aabb, pose, H, W, focal,
-                                      n_rays, rng)
+                                      n_rays, rng,
+                                      SB=getattr(meta, "sample_block", 64))
         frac = max(frac, f)
         max_occ = max(max_occ, mo)
     budget = min(1.0, max(frac * margin + floor, 0.05))
