@@ -75,6 +75,14 @@ def main():
     parser.add_argument("--profile", type=int, default=0,
                         help="wrap the first N train steps in a "
                              "jax.profiler trace written to <logdir>/profile")
+    parser.add_argument("--supervise", action="store_true",
+                        help="run training under the in-framework supervisor: "
+                             "stall detection on <logdir>/heartbeat + "
+                             "auto-resume from the latest checkpoint "
+                             "(nvfi_tpu/train/supervisor.py)")
+    parser.add_argument("--stall_timeout", type=float, default=720.0,
+                        help="seconds of heartbeat silence before the "
+                             "supervisor kills and resumes the run")
     parser.add_argument("opts", nargs="*", help="dot-path config overrides: key value ...")
     args = parser.parse_args()
 
@@ -95,6 +103,27 @@ def main():
     os.makedirs(logdir, exist_ok=True)
     with open(os.path.join(logdir, "config.yaml"), "w") as f:
         f.write(cfg.dump())
+
+    if args.supervise:
+        # re-exec the identical command as a supervised child (before any jax
+        # import so the parent never holds the TPU); restarts resume from the
+        # latest checkpoint in --logdir
+        from nvfi_tpu.train.supervisor import run_supervised
+
+        base = [sys.executable, os.path.abspath(sys.argv[0])] + [
+            a for a in sys.argv[1:] if a != "--supervise"
+        ]
+
+        def build_argv(attempt):
+            if attempt and "--resume" not in base:
+                return base + ["--resume", "--logdir", logdir]
+            return list(base)
+
+        rc, n = run_supervised(
+            build_argv, os.path.join(logdir, "heartbeat"),
+            stall_timeout=args.stall_timeout,
+        )
+        sys.exit(rc)
 
     import jax
 
