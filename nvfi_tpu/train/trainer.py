@@ -571,6 +571,13 @@ class Trainer:
         self.rng = np.random.RandomState(seed)
         self.key, k_init = jax.random.split(self.key)
         self.params = kplane.init_params(k_init, self.meta)
+        if (mesh is not None and "model" in mesh.axis_names
+                and mesh.shape["model"] > 1):
+            assert spmd == "auto", (
+                "the 'model' (tensor-parallel) axis requires spmd='auto' — "
+                "the explicit shard_map step reduces over 'data' only"
+            )
+        self._place_params()
         self.alpha_state = None
         self.counters = init_counters()
         self.global_step = 0
@@ -591,6 +598,17 @@ class Trainer:
         self.split = split
         self._upload_buffers(split)
         self._check_train_times()
+
+    def _place_params(self):
+        """Tensor-parallel placement: channel-shard the plane tables over the
+        mesh's 'model' axis (parallel/mesh.shard_scene_params).  No-op on
+        1-D data meshes.  Re-applied after every stage transition and on
+        restore, since upsample/shrink/load build fresh arrays."""
+        if (self.mesh is not None and "model" in self.mesh.axis_names
+                and self.mesh.shape["model"] > 1):
+            from ..parallel.mesh import shard_scene_params
+
+            self.params = shard_scene_params(self.mesh, self.params)
 
     def _reprobe_turbo(self, tag: str):
         """Re-calibrate the block/shade budgets for the CURRENT meta/mask.
@@ -732,6 +750,12 @@ class Trainer:
 
         pool_all = jnp.arange(n_frames, dtype=jnp.int32)
         pool_key = jnp.asarray(key_frames, dtype=jnp.int32)
+        # liveness heartbeat for the --supervise watchdog: every few steps,
+        # force a device->host scalar fetch (the only reliable sync through
+        # the axon tunnel) and touch <logdir>/heartbeat — fresh mtime proves
+        # steps are COMPLETING on the accelerator, not just being dispatched
+        hb_path = os.path.join(self.logdir, "heartbeat") if self.logdir else None
+        hb_every = 10
         pbar = None
         if progress:
             import tqdm
@@ -755,6 +779,12 @@ class Trainer:
             # transition at `it`), so resume must continue at it+1 — otherwise
             # the upsample event re-fires on an already-consumed schedule.
             self.global_step = it + 1
+
+            if hb_path is not None and it % hb_every == 0:
+                float(metrics["loss"])  # device round trip = proof of progress
+                from .supervisor import touch
+
+                touch(hb_path)
 
             if pbar is not None:
                 pbar.update(1)
@@ -794,6 +824,7 @@ class Trainer:
                     self.params, self.meta, self.reso_mask
                 )
                 self.params, self.meta = kplane.shrink(self.params, self.meta, new_aabb)
+                self._place_params()
                 if it == hp.update_alphamask_list[0]:
                     # switch the L1 weight to its reset value; it continues
                     # decaying from here (reference train_nvfi.py:338-340)
@@ -820,6 +851,7 @@ class Trainer:
                 res_cur = n_to_reso(n_vox, self.meta.aabb_np)
                 kf_cur = self.keyframe_list.pop(0)
                 self.params, self.meta = kplane.upsample(self.params, self.meta, res_cur, kf_cur)
+                self._place_params()
                 key_frames = self._keyframe_frames()
                 pool_key = jnp.asarray(key_frames, dtype=jnp.int32)
                 self._check_train_times()
@@ -859,6 +891,7 @@ class Trainer:
     def restore(self, path: str):
         params, meta, opt_state, alpha_state, extra = checkpoint.load(path)
         self.params = jax.tree.map(jnp.asarray, params)
+        self._place_params()
         self.meta = meta
         self.alpha_state = (
             jax.tree.map(jnp.asarray, alpha_state) if alpha_state else None
