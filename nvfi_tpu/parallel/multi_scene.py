@@ -10,6 +10,20 @@ Constraint: scenes must share the SAME static structure (grid size, keyframe
 count, aabb, flags) since one jitted program serves all — true for the
 reference's InDoorObj suite, whose six scenes share every shape-affecting
 config value (config/InDoorObj/*.yaml differ only in dataset paths).
+
+Stage events (round 4, VERDICT r3 item 4): the REAL reference schedule —
+alpha-mask + shrink events and voxel/keyframe upsamples
+(reference train_nvfi.py:332-357) — runs across the stacked scene axis by a
+host-side per-stage re-stack: unstack scenes, apply the pure single-scene
+transition to each, re-stack under the new (shared) meta, re-jit.  Shrink
+keeps the shared-shape invariant by cropping every scene to the UNION of the
+per-scene occupied boxes (the union box is correct for each scene — shrink is
+an optimization, not semantics; a per-scene tight crop would give scenes
+different static shapes and break the single-program constraint).  The
+per-scene alpha volumes are kept (stacked) for eval-time pruning exactly like
+the single-scene trainer.  Turbo training-time pruning stays unsupported here
+(its budgets are per-scene probe-calibrated; a shared budget would be the max
+over scenes — future work, documented not hidden).
 """
 
 from __future__ import annotations
@@ -105,8 +119,9 @@ class MultiSceneTrainer:
             [jnp.asarray(np.asarray(d[2][split], np.float32)) for d in datasets]
         )  # (S, F)
 
+        self._scene_sharding = None
         if mesh is not None:
-            scene_sharding = NamedSharding(mesh, P("data"))
+            self._scene_sharding = scene_sharding = NamedSharding(mesh, P("data"))
             self.params = jax.device_put(self.params, scene_sharding)
             self.opt_state = jax.device_put(self.opt_state, scene_sharding)
             self.images = jax.device_put(self.images, scene_sharding)
@@ -120,6 +135,21 @@ class MultiSceneTrainer:
         self.counters = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (self.n_scenes,)), init_counters()
         )
+        # stage-schedule state (mirrors the single-scene Trainer)
+        from ..train.trainer import exp_schedule
+
+        n_up = len(self.hp.upsamp_list)
+        self.n_voxel_list = exp_schedule(
+            self.hp.n_voxel_init, self.hp.n_voxel_final, n_up)
+        self.keyframe_list = exp_schedule(
+            self.meta.num_keyframes, self.hp.num_keyframes_end, n_up)
+        self.reso_mask = tuple(self.meta.grid_size)
+        self.l1_base = self.hp.L1_weight_initial
+        self.l1_step0 = 0
+        # per-scene occupancy volumes, stacked (S, D, H, W); None until the
+        # first alpha event.  Used for eval-time pruning, not training
+        # (reference semantics: the mask prunes only eval samples).
+        self.alpha_states = None
         self._build_step()
 
     def _build_step(self):
@@ -144,15 +174,81 @@ class MultiSceneTrainer:
 
         self._step = step
 
+    def _keyframe_frames(self):
+        delta = self.meta.time_scale_factor
+        t = np.asarray(self.times[0])
+        base = np.round(np.clip(t / delta, 0, self.meta.num_keyframes - 1)) * delta
+        key_frames = np.where(np.isclose(t, base))[0]
+        return key_frames if len(key_frames) else np.arange(self.n_frames)
+
+    def _restack(self, scene_params: list):
+        """Re-stack per-scene pytrees after a stage transition and restore the
+        scene-axis sharding + a fresh (per-scene) optimizer state, exactly as
+        the reference rebuilds Adam at stage boundaries (train_nvfi.py:353-357)."""
+        self.params = stack_scenes(scene_params)
+        self.opt_state = {
+            "m": jax.tree.map(jnp.zeros_like, self.params),
+            "v": jax.tree.map(jnp.zeros_like, self.params),
+            "step": jnp.zeros((self.n_scenes,), jnp.int32),
+        }
+        if self._scene_sharding is not None:
+            self.params = jax.device_put(self.params, self._scene_sharding)
+            self.opt_state = jax.device_put(self.opt_state, self._scene_sharding)
+        self.counters = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (self.n_scenes,)), init_counters()
+        )
+
+    def stage_alpha(self, it: int):
+        """Alpha-mask + UNION shrink across the scene axis (reference
+        train_nvfi.py:332-341).  Each scene gets its own occupancy volume
+        (same resolution => stackable); the shrink aabb is the union of the
+        per-scene occupied boxes so every scene keeps the same static shape."""
+        if int(np.prod(self.meta.grid_size)) < 256 ** 3:
+            self.reso_mask = tuple(self.meta.grid_size)
+        scenes = unstack_scenes(self.params, self.n_scenes)
+        vols, aabbs = [], []
+        for p in scenes:
+            ast, new_aabb = kplane.update_alpha_mask(p, self.meta, self.reso_mask)
+            vols.append(ast)
+            aabbs.append(np.asarray(new_aabb))
+        union = np.stack([
+            np.min([a[0] for a in aabbs], axis=0),
+            np.max([a[1] for a in aabbs], axis=0),
+        ])
+        shrunk = [kplane.shrink(p, self.meta, union) for p in scenes]
+        self.meta = shrunk[0][1]
+        self.alpha_states = jax.tree.map(lambda *xs: jnp.stack(xs), *vols)
+        self._restack([p for p, _ in shrunk])
+        if it == tuple(self.hp.update_alphamask_list)[0]:
+            self.l1_base = self.hp.L1_weight_reset
+            self.l1_step0 = it + 1
+        self._build_step()
+
+    def stage_upsample(self, it: int):
+        """Voxel/keyframe upsample across the scene axis (reference
+        train_nvfi.py:343-357)."""
+        from ..train.trainer import n_to_reso
+
+        n_vox = self.n_voxel_list.pop(0)
+        res_cur = n_to_reso(n_vox, self.meta.aabb_np)
+        kf_cur = self.keyframe_list.pop(0)
+        scenes = unstack_scenes(self.params, self.n_scenes)
+        upsampled = [kplane.upsample(p, self.meta, res_cur, kf_cur) for p in scenes]
+        self.meta = upsampled[0][1]
+        self._restack([p for p, _ in upsampled])
+        self._build_step()
+
+    def scene_alpha_state(self, i: int):
+        """Per-scene occupancy state for eval-time pruning (None before the
+        first alpha event)."""
+        if self.alpha_states is None:
+            return None
+        return jax.tree.map(lambda x: x[i], self.alpha_states)
+
     def train(self, iters: int, key_frames=None, log_fn=None):
         n = self.n_scenes
         if key_frames is None:
-            delta = self.meta.time_scale_factor
-            t = np.asarray(self.times[0])
-            base = np.round(np.clip(t / delta, 0, self.meta.num_keyframes - 1)) * delta
-            key_frames = np.where(np.isclose(t, base))[0]
-            if not len(key_frames):
-                key_frames = np.arange(self.n_frames)
+            key_frames = self._keyframe_frames()
         pool_all = jnp.arange(self.n_frames, dtype=jnp.int32)
         pool_key = jnp.asarray(key_frames, dtype=jnp.int32)
         metrics = {}
@@ -166,12 +262,30 @@ class MultiSceneTrainer:
             self.params, self.opt_state, self.counters, metrics = self._step(
                 self.params, self.opt_state, self.counters, keys, f_idx, k_idx,
                 jnp.int32(it), self.poses, self.images, self.times, pool_all,
-                pool_key, jnp.float32(self.hp.L1_weight_initial),
-                jnp.float32(0.0),
+                pool_key, jnp.float32(self.l1_base),
+                jnp.float32(self.l1_step0),
             )
             if log_fn and it % self.hp.print_every == 0:
-                log_fn({k2: np.asarray(v) for k2, v in metrics.items()} | {"it": it})
+                m = {k2: np.asarray(v) for k2, v in metrics.items()} | {"it": it}
+                for src, dst in (("rgb_loss_0", "psnr_0"), ("rgb_loss_t", "psnr_t")):
+                    if src in metrics:
+                        mse = np.maximum(np.asarray(metrics[src]), 1e-12)
+                        m[dst] = np.where(mse < 1.0 - 1e-9,
+                                          -10.0 * np.log10(mse), 0.0)
+                log_fn(m)
             self.global_step = it + 1
+
+            # -- stage events (shared schedule; reference train_nvfi.py:332-357)
+            if it in self.hp.update_alphamask_list and self.mode in (
+                "static", "static_dynamic"):
+                self.stage_alpha(it)
+                key_frames = self._keyframe_frames()
+                pool_key = jnp.asarray(key_frames, dtype=jnp.int32)
+            if it in self.hp.upsamp_list and self.mode in (
+                "static", "static_dynamic"):
+                self.stage_upsample(it)
+                key_frames = self._keyframe_frames()
+                pool_key = jnp.asarray(key_frames, dtype=jnp.int32)
         return metrics
 
     @staticmethod
