@@ -97,7 +97,31 @@ def fan_objects():
     return blades + [hub]
 
 
-SCENE_OBJECTS = {"bat": default_objects, "fan": fan_objects}
+def chessboard_objects():
+    """An InDoorSeg-style stand-in for the 'sur'-gated scene family
+    (config/InDoorSeg/chessboard.yaml: black bg, K=4, VelocityAABBSur with
+    sur_x/y/z = +-1.6 inside bbox +-2.02): moving 'pieces' that stay INSIDE
+    the surround box, a static piece inside it, and a static 'wall' sphere
+    OUTSIDE the surround box — the gate must hold its velocity at exactly
+    zero (reference models/velocity_field.py:36-51), so the scene exercises
+    both sides of the gating boundary."""
+    return [
+        # piece orbiting the board center, radius 0.9 < sur 1.6 - size
+        RigidSphere(center=(0.9, 0.0, 0.0), radius=0.35, color=(0.9, 0.8, 0.75),
+                    omega=(0, 0, 2.0), pivot=(0, 0, 0.0)),
+        # piece sliding diagonally across the board, ends well inside sur
+        RigidSphere(center=(-1.0, -1.0, -0.45), radius=0.3,
+                    color=(0.15, 0.15, 0.2), v_lin=(1.2, 1.2, 0.5)),
+        # static piece inside the surround box
+        RigidSphere(center=(0.0, 0.9, 0.55), radius=0.35, color=(0.75, 0.2, 0.2)),
+        # static 'wall' OUTSIDE the surround box (|y| > 1.6): sur-gated
+        # velocity is identically zero here
+        RigidSphere(center=(0.0, -1.85, 0.0), radius=0.16, color=(0.3, 0.6, 0.35)),
+    ]
+
+
+SCENE_OBJECTS = {"bat": default_objects, "fan": fan_objects,
+                 "chessboard": chessboard_objects}
 
 
 def render_frame(objects, pose, H, W, focal, t, white_background=True, light=(0.5, 0.5, 1.0)):

@@ -51,6 +51,7 @@ def main():
         n_train=args.frames, n_val=4, n_test=8, H=args.res, W=args.res,
         tmax_frac=float(cfg.nvfi.tmax),
         white_background=bool(cfg.dataset.white_background),
+        objects=str(cfg.dataset.get("synthetic_objects", "bat")),
     )
     objects = dataset[7]["objects"]
 

@@ -1,0 +1,54 @@
+#!/bin/bash
+# Round-4 'sur'-gated scene campaign (VERDICT r3 item 3): train the synthetic
+# InDoorSeg stand-in (configs/synth/chessboard.yaml — black bg, K=4,
+# VelocityAABBSur gating, NO alpha events, upsamples to 8M voxels) to
+# convergence, then run the full quality battery (eval renders + velocity EPE
+# + segm distill + segm metrics).  Dense path (no turbo): the shade-0.125
+# quality evidence is bat-only, so the first convergence evidence for this
+# family stays unambiguous.
+#
+# Waits for the bat post-queue to finish first (ONE TPU process at a time).
+# Training runs under the new in-framework supervisor (train_nvfi --supervise)
+# — this is its first run in anger.
+set -u
+cd /root/repo
+LOG=logs
+SCENE=logs/synth/chessboard30k
+ITERS=${ITERS:-30000}
+RES=${RES:-96}
+FRAMES=${FRAMES:-96}
+
+# wait for the TPU to be free: bat trainer gone AND post queue done/absent
+while true; do
+  TP=$(cat /tmp/train30k_r4.pid 2>/dev/null)
+  QP=$(cat /tmp/queue_r4.pid 2>/dev/null)
+  busy=0
+  [ -n "$TP" ] && kill -0 "$TP" 2>/dev/null && busy=1
+  [ -n "$QP" ] && kill -0 "$QP" 2>/dev/null && busy=1
+  [ "$busy" = 0 ] && break
+  sleep 60
+done
+echo "[chess] TPU free at $(date); launching supervised training"
+
+python -u train_nvfi.py --config configs/synth/chessboard.yaml --synthetic \
+  --synth_res "$RES" --synth_frames "$FRAMES" --static_dynamic --supervise \
+  --stall_timeout 1800 --logdir "$SCENE" \
+  nvfi.compute_dtype bfloat16 renderer.batch_size 262144 \
+  experiment.train_iters "$ITERS" \
+  experiment.print_every 100 experiment.save_every 2500 \
+  >> $LOG/chess30k.log 2>&1
+echo "[chess] training rc=$? at $(date)"
+
+run() {
+  echo "[chess] ===== $(date +%H:%M:%S) $* ====="
+  timeout "${T:-7200}" "$@"
+  echo "[chess] rc=$? for: $*"
+}
+
+T=7200 run python -u scripts/eval_all.py --scene_dir "$SCENE" \
+  --res "$RES" --frames "$FRAMES" > $LOG/eval_all_chess.log 2>&1
+T=7200 run python -u train_segm.py --config configs/synth/chessboard.yaml \
+  --scene_dir "$SCENE" > $LOG/segm_train_chess.log 2>&1
+T=7200 run python -u test_segm_render.py --config configs/synth/chessboard.yaml \
+  --synthetic --scene_dir "$SCENE" > $LOG/segm_render_chess.log 2>&1
+echo "[chess] ALL DONE at $(date)"

@@ -68,6 +68,7 @@ def main():
             n_train=8, n_val=2, n_test=8, H=64, W=64,
             tmax_frac=float(cfg.nvfi.tmax),
             white_background=bool(cfg.dataset.white_background),
+            objects=str(cfg.dataset.get("synthetic_objects", "bat")),
         )
         imgs, poses, times = data[0]["test"], data[1]["test"], data[2]["test"]
         segms = data[7]["segm"]["test"]

@@ -72,6 +72,7 @@ def main():
             n_train=8, n_val=2, n_test=8, H=64, W=64,
             tmax_frac=float(cfg.nvfi.tmax),
             white_background=bool(cfg.dataset.white_background),
+            objects=str(cfg.dataset.get("synthetic_objects", "bat")),
         )[:7]
     else:
         from nvfi_tpu.data import load_blender_data
