@@ -18,14 +18,23 @@ ITERS=${ITERS:-30000}
 RES=${RES:-96}
 FRAMES=${FRAMES:-96}
 
-# wait for the TPU to be free: bat trainer gone AND post queue done/absent
+# Wait for the TPU to be free.  The bat watchdog starts the post queue up to
+# 120 s AFTER the trainer exits, so "both pids dead" alone races that gap:
+# wait for the post queue's DONE marker, with a 30-min idle fallback in case
+# the watchdog itself died before triggering it.
+idle=0
 while true; do
+  grep -q "POST DONE" logs/r4_queue_post.log 2>/dev/null && break
   TP=$(cat /tmp/train30k_r4.pid 2>/dev/null)
   QP=$(cat /tmp/queue_r4.pid 2>/dev/null)
   busy=0
   [ -n "$TP" ] && kill -0 "$TP" 2>/dev/null && busy=1
   [ -n "$QP" ] && kill -0 "$QP" 2>/dev/null && busy=1
-  [ "$busy" = 0 ] && break
+  if [ "$busy" = 0 ]; then
+    idle=$((idle + 60)); [ "$idle" -ge 1800 ] && break
+  else
+    idle=0
+  fi
   sleep 60
 done
 echo "[chess] TPU free at $(date); launching supervised training"
