@@ -59,5 +59,6 @@ T=7200 run python -u scripts/eval_all.py --scene_dir "$SCENE" \
 T=7200 run python -u train_segm.py --config configs/synth/chessboard.yaml \
   --scene_dir "$SCENE" > $LOG/segm_train_chess.log 2>&1
 T=7200 run python -u test_segm_render.py --config configs/synth/chessboard.yaml \
-  --synthetic --scene_dir "$SCENE" > $LOG/segm_render_chess.log 2>&1
+  --synthetic --scene_dir "$SCENE" --export_points 48 \
+  > $LOG/segm_render_chess.log 2>&1
 echo "[chess] ALL DONE at $(date)"

@@ -26,6 +26,7 @@ T=7200 run python -u scripts/eval_all.py --scene_dir $SCENE \
 T=7200 run python -u train_segm.py --config configs/synth/bat.yaml \
     --scene_dir $SCENE > $LOG/segm_train_s125.log 2>&1
 T=7200 run python -u test_segm_render.py --config configs/synth/bat.yaml \
-    --synthetic --scene_dir $SCENE > $LOG/segm_render_s125.log 2>&1
+    --synthetic --scene_dir $SCENE --export_points 48 \
+    > $LOG/segm_render_s125.log 2>&1
 
 echo "[queue] POST DONE at $(date)"

@@ -30,6 +30,14 @@ def main():
     parser.add_argument("--n_views", type=int, default=0, help="limit test views")
     parser.add_argument("--scene_dir", type=str, default="",
                         help="override the NVFi checkpoint directory")
+    parser.add_argument("--export_points", type=int, default=0,
+                        help="also export 3D debug artifacts: an N-res volume "
+                             "sweep classified by the MaskField as segm-colored "
+                             "mesh balls, flow arrows through the velocity "
+                             "field, the model aabb wireframe (PLY, any "
+                             "viewer) + a headless PNG snapshot "
+                             "(utils/point_viz — the reference's open3d "
+                             "tooling, point_visual_util.py:17-192, headless)")
     args = parser.parse_args()
 
     import jax
@@ -125,6 +133,50 @@ def main():
     print(results)
     with open(os.path.join(outdir, "segm_metrics.txt"), "w") as f:
         f.write(str(results))
+
+    if args.export_points:
+        from nvfi_tpu.fields import mask_field
+        from nvfi_tpu.train.segm import sample_volume_points
+        from nvfi_tpu.utils import point_viz as pv
+
+        rng = np.random.RandomState(0)
+        a = meta.aabb_np
+        xyz = sample_volume_points(rng, np.stack([a[0], a[1]], -1),
+                                   int(args.export_points)).reshape(-1, 3)
+        xyz_n = np.asarray(kplane.normalize_coord(meta, jnp.asarray(xyz)))
+        t0 = jnp.zeros((len(xyz), 1), jnp.float32)
+        xyzt = jnp.concatenate(
+            [jnp.asarray(xyz_n), kplane.normalize_time(meta, t0)], -1)
+        sigma = kplane.feature2density(
+            meta, kplane.density_feature(params, meta, xyzt), None)
+        keep = np.asarray(1.0 - jnp.exp(-sigma * 0.01)) > 1e-3
+        xyz, xyz_n = xyz[keep], xyz_n[keep]
+        labels = np.argmax(
+            np.asarray(mask_field.apply(mask_params, jnp.asarray(xyz_n))), -1)
+
+        # forward flow t0 -> mid-window through the velocity field
+        t_tgt = 0.5 * meta.tmax
+        bt = jnp.full((len(xyz), 1), t_tgt, jnp.float32)
+        adv = kplane.integrate_pos(params, meta, jnp.asarray(xyz_n),
+                                   jnp.zeros_like(bt), bt,
+                                   n_steps=meta.max_adv_steps)
+        flow = (np.asarray(adv) - xyz_n) * (a[1] - a[0]) / 2.0  # world units
+
+        pv.save_ply_mesh(os.path.join(outdir, "points_segm.ply"),
+                         pv.pc_segm_to_sphere(xyz, labels, radius=0.01))
+        pv.save_ply_mesh(os.path.join(outdir, "flow_arrows.ply"),
+                         pv.pc_flow_to_arrows(xyz, flow, radius=0.004))
+        (bbox,) = pv.build_bbox3d(pv.bound_to_box([np.stack([a[0], a[1]], -1)]))
+        pv.save_ply_mesh(os.path.join(outdir, "aabb.ply"),
+                         {"vertices": bbox["points"], "edges": bbox["edges"],
+                          "colors": np.tile([[0.0, 1.0, 0.0]], (8, 1))})
+        pv.snapshot_png(os.path.join(outdir, "points_segm.png"),
+                        pointclouds=[pv.build_pointcloud_segm(xyz, labels)],
+                        boxes=[bbox], flows=(xyz[::17], flow[::17]),
+                        lim=float(np.abs(a).max()))
+        print(f"[viz] {keep.sum()} occupied points -> "
+              f"{outdir}/points_segm.ply, flow_arrows.ply, aabb.ply, "
+              "points_segm.png")
 
 
 if __name__ == "__main__":
