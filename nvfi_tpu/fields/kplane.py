@@ -81,6 +81,8 @@ class KPlaneMeta:
     step_ratio: float = 0.5
     max_n_samples: int = 1024
     use_vel: bool = True
+    vel_hidden: int = 128  # velocity-MLP width (reference 128); >128 is the
+    # extrapolation-gap capacity experiment (NEXT.md §6)
     vel_gate: VelGate = field(default_factory=lambda: VelGate("aabb", 0.03))
     mask_dim: int = 0  # >0 when a segmentation MaskField head is attached
     alpha_grid: tuple = ()  # (D,H,W) of the occupancy volume; () = no mask
@@ -271,6 +273,7 @@ def meta_from_cfg(nvfi_cfg, aabb, grid_size, near_far) -> KPlaneMeta:
         step_ratio=float(nvfi_cfg.step_ratio),
         max_n_samples=int(nvfi_cfg.max_n_samples),
         use_vel=bool(nvfi_cfg.use_vel),
+        vel_hidden=int(nvfi_cfg.get("vel_hidden", 128)),
         vel_gate=gate,
         compute_dtype=str(nvfi_cfg.get("compute_dtype", "float32")),
         train_occupancy_prune=bool(nvfi_cfg.get("train_occupancy_prune", False)),
@@ -334,7 +337,7 @@ def init_params(key, meta: KPlaneMeta) -> dict:
         ),
     }
     if meta.use_vel:
-        params["vel"] = vel_mod.init_velocity_params(keys[9])
+        params["vel"] = vel_mod.init_velocity_params(keys[9], meta.vel_hidden)
     return params
 
 

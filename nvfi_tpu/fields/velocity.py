@@ -27,8 +27,7 @@ from .mlp import mlp_init, mlp_apply
 
 _ENCODE_DIM = 3
 _IN_DIM = 4 + 4 * 2 * _ENCODE_DIM  # 28
-_HIDDEN = 128
-_LAYERS = [_IN_DIM, _HIDDEN, _HIDDEN, _HIDDEN, _HIDDEN, _HIDDEN, 6]
+_HIDDEN = 128  # reference width (models/velocity_field.py:60-61)
 
 
 class VelGate(NamedTuple):
@@ -40,11 +39,15 @@ class VelGate(NamedTuple):
     bounds: tuple = ()  # ((xmin,ymin,zmin),(xmax,ymax,zmax)) in normalized coords
 
 
-def init_velocity_params(key):
+def init_velocity_params(key, hidden: int = _HIDDEN):
+    """``hidden`` widens both 6-layer nets past the reference's 128 (an
+    extrapolation-gap capacity experiment, NEXT.md §6); the apply path reads
+    layer shapes from the params, so only init changes."""
+    layers = [_IN_DIM] + [hidden] * 5 + [6]
     kv, ka = jax.random.split(key)
     return {
-        "weight_net": mlp_init(kv, _LAYERS),
-        "a_weight_net": mlp_init(ka, _LAYERS),
+        "weight_net": mlp_init(kv, layers),
+        "a_weight_net": mlp_init(ka, layers),
     }
 
 

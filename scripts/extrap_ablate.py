@@ -30,6 +30,10 @@ ARMS = {
     "A": {},
     "B": {"experiment.vel_reg_no_decay": True},
     "C": {"experiment.vel_occupied_budget": 16384},
+    # round 4 (VERDICT r3 item 9): arms B/C were null, so probe velocity-field
+    # CAPACITY — double the width of both 6-layer vel MLPs (reference holds
+    # them at 128, models/velocity_field.py:60-61)
+    "D": {"nvfi.vel_hidden": 256},
 }
 
 

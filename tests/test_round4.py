@@ -232,6 +232,33 @@ def test_shard_map_rejects_model_axis():
 
 
 # ---------------------------------------------------------------------------
+# Velocity-MLP width knob (extrapolation capacity arm, NEXT.md §6)
+# ---------------------------------------------------------------------------
+
+def test_vel_hidden_widens_and_roundtrips(tmp_path):
+    """vel_hidden=256 widens both velocity nets; rendering and the checkpoint
+    meta roundtrip keep working (old checkpoints default back to 128)."""
+    from nvfi_tpu.train import checkpoint
+
+    meta = make_meta(vel_hidden=256)
+    params = kplane.init_params(jax.random.PRNGKey(0), meta)
+    assert params["vel"]["weight_net"][0]["w"].shape[-1] == 256
+    ro, rd, t = make_rays(n=8)
+    out = kplane.render_rays(params, meta, t, ro, rd,
+                             key=jax.random.PRNGKey(1), training=False,
+                             white_bg=True)
+    assert np.isfinite(np.asarray(out["rgb"])).all()
+
+    p = str(tmp_path / "model")
+    checkpoint.save(p, params, meta)
+    _, meta2, *_ = checkpoint.load(p)
+    assert meta2.vel_hidden == 256
+    legacy = {k: v for k, v in checkpoint.meta_to_json(meta).items()
+              if k != "vel_hidden"}
+    assert checkpoint.meta_from_json(legacy).vel_hidden == 128
+
+
+# ---------------------------------------------------------------------------
 # Chessboard ('sur'-gated family) synthetic preset sanity
 # ---------------------------------------------------------------------------
 
