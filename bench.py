@@ -72,7 +72,9 @@ def main():
     from nvfi_tpu.train import turbo as turbo_mod
 
     n_rays = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
-    cfg = load_config("configs/synth/bat.yaml")
+    # optional dot-path overrides, train_nvfi style:
+    #   python bench.py 8192 nvfi.sample_block 32
+    cfg = load_config("configs/synth/bat.yaml", sys.argv[2:] or None)
     cfg.renderer.n_rays = n_rays
     cfg.renderer.batch_size = 262144
     cfg.nvfi.compute_dtype = "bfloat16"

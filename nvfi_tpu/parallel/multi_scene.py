@@ -21,9 +21,18 @@ per-scene occupied boxes (the union box is correct for each scene — shrink is
 an optimization, not semantics; a per-scene tight crop would give scenes
 different static shapes and break the single-program constraint).  The
 per-scene alpha volumes are kept (stacked) for eval-time pruning exactly like
-the single-scene trainer.  Turbo training-time pruning stays unsupported here
-(its budgets are per-scene probe-calibrated; a shared budget would be the max
-over scenes — future work, documented not hidden).
+the single-scene trainer.
+
+Turbo (nvfi.turbo: true) engages at the first alpha event like the
+single-scene Trainer: budgets are probe-calibrated PER SCENE
+(train/turbo.measure_block_budget) and the shared static budget is the MAX
+over scenes — every scene provably keeps all its active blocks (a scene's
+budget never falls below its own probe), at the cost of the sparsity of the
+emptiest scene being bounded by the fullest.  The probed shade fraction is
+capped at the config value exactly like Trainer._reprobe_turbo.  Per-scene
+device-side running-max counters certify exactness (checked at stage
+boundaries and train() exit; a nonzero dropped_blocks on ANY scene warns
+unmissably).
 """
 
 from __future__ import annotations
@@ -147,30 +156,39 @@ class MultiSceneTrainer:
         self.l1_base = self.hp.L1_weight_initial
         self.l1_step0 = 0
         # per-scene occupancy volumes, stacked (S, D, H, W); None until the
-        # first alpha event.  Used for eval-time pruning, not training
-        # (reference semantics: the mask prunes only eval samples).
+        # first alpha event.  Used for eval-time pruning always; for turbo
+        # training-time pruning too once nvfi.turbo engages at the first
+        # alpha event (reference semantics without turbo: the mask prunes
+        # only eval samples).
         self.alpha_states = None
+        self.turbo = bool(cfg.nvfi.get("turbo", False))
+        self._shade_cap = float(self.meta.shade_fraction)
         self._build_step()
+
+    def _use_alpha(self) -> bool:
+        return bool(self.meta.train_occupancy_prune
+                    and self.alpha_states is not None)
 
     def _build_step(self):
         # single-scene step WITHOUT its own jit/donation — vmap wraps it
+        use_alpha = self._use_alpha()
         inner = make_train_step(
-            self.meta, self.hp, self.mode, self.H, self.W, self.focal, mesh=None
+            self.meta, self.hp, self.mode, self.H, self.W, self.focal,
+            mesh=None, use_alpha=use_alpha,
         )
         # make_train_step returns a jitted fn; vmap of jit is fine in jax
-        n_frames = self.n_frames
 
         @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
         def step(params, opt_state, counters, keys, frame_idx, key_idx,
                  global_step, poses, images, times, pool_all, pool_key,
-                 l1_base, l1_step0):
+                 l1_base, l1_step0, alpha_states):
             return jax.vmap(
                 inner,
                 in_axes=(0, 0, 0, 0, 0, 0, None, 0, 0, 0, None, None, None,
-                         None, None),
+                         None, 0 if use_alpha else None),
             )(params, opt_state, counters, keys, frame_idx, key_idx,
               global_step, poses, images, times, pool_all, pool_key, l1_base,
-              l1_step0, jnp.zeros(()))
+              l1_step0, alpha_states)
 
         self._step = step
 
@@ -218,11 +236,62 @@ class MultiSceneTrainer:
         shrunk = [kplane.shrink(p, self.meta, union) for p in scenes]
         self.meta = shrunk[0][1]
         self.alpha_states = jax.tree.map(lambda *xs: jnp.stack(xs), *vols)
+        if self._scene_sharding is not None:
+            self.alpha_states = jax.device_put(
+                self.alpha_states, self._scene_sharding)
         self._restack([p for p, _ in shrunk])
         if it == tuple(self.hp.update_alphamask_list)[0]:
             self.l1_base = self.hp.L1_weight_reset
             self.l1_step0 = it + 1
+        self._reprobe_turbo(f"alpha@{it}")
         self._build_step()
+
+    def _reprobe_turbo(self, tag: str):
+        """Engage/re-calibrate turbo for the CURRENT meta: probe the block
+        budget per scene and share the MAX (see module docstring).  Mirrors
+        Trainer._reprobe_turbo, including the config shade cap."""
+        if not (self.turbo and self.alpha_states is not None):
+            return
+        from dataclasses import replace
+
+        from ..train import turbo as turbo_mod
+
+        budgets, shades = [], []
+        for i in range(self.n_scenes):
+            b, s = turbo_mod.measure_block_budget(
+                self.meta, self.scene_alpha_state(i),
+                np.asarray(self.poses[i], np.float32),
+                self.H, self.W, self.focal, self.hp.n_rays, with_shade=True,
+            )
+            budgets.append(b)
+            shades.append(s)
+        self.meta = replace(
+            self.meta,
+            train_occupancy_prune=True,
+            block_budget=float(max(budgets)),
+            shade_fraction=min(float(max(shades)), self._shade_cap),
+        )
+        print(f"[turbo] {tag}: shared block_budget="
+              f"{self.meta.block_budget:.3f} (per-scene "
+              f"{['%.3f' % b for b in budgets]}) shade_fraction="
+              f"{self.meta.shade_fraction:.3f}", flush=True)
+
+    def check_counters(self, tag: str) -> dict:
+        """Per-scene running-max exactness counters (see trainer
+        _check_counters): dropped_blocks > 0 on any scene means its shared
+        budget zeroed real samples — warn unmissably."""
+        db = np.asarray(self.counters["dropped_blocks"])
+        ds = np.asarray(self.counters["dropped_shade"])
+        if db.max() > 0:
+            print(f"[turbo] !!! EXACTNESS VIOLATION at {tag}: per-scene max "
+                  f"dropped_blocks={db.tolist()} — the shared block budget "
+                  "zeroed real samples; raise nvfi.turbo_budget or disable "
+                  "turbo", flush=True)
+        elif ds.max() > 0:
+            print(f"[turbo] stage truncation at {tag}: per-scene max "
+                  f"dropped_shade={ds.tolist()} (accepted by shade cap "
+                  f"{self._shade_cap})", flush=True)
+        return {"max_dropped_blocks": db, "max_dropped_shade": ds}
 
     def stage_upsample(self, it: int):
         """Voxel/keyframe upsample across the scene axis (reference
@@ -236,6 +305,8 @@ class MultiSceneTrainer:
         upsampled = [kplane.upsample(p, self.meta, res_cur, kf_cur) for p in scenes]
         self.meta = upsampled[0][1]
         self._restack([p for p, _ in upsampled])
+        if self.meta.train_occupancy_prune:
+            self._reprobe_turbo(f"upsample@{it}")  # the sample axis refined
         self._build_step()
 
     def scene_alpha_state(self, i: int):
@@ -264,6 +335,7 @@ class MultiSceneTrainer:
                 jnp.int32(it), self.poses, self.images, self.times, pool_all,
                 pool_key, jnp.float32(self.l1_base),
                 jnp.float32(self.l1_step0),
+                self.alpha_states if self._use_alpha() else jnp.zeros(()),
             )
             if log_fn and it % self.hp.print_every == 0:
                 m = {k2: np.asarray(v) for k2, v in metrics.items()} | {"it": it}
@@ -278,14 +350,20 @@ class MultiSceneTrainer:
             # -- stage events (shared schedule; reference train_nvfi.py:332-357)
             if it in self.hp.update_alphamask_list and self.mode in (
                 "static", "static_dynamic"):
+                if self._use_alpha():
+                    self.check_counters(f"pre-alpha@{it}")
                 self.stage_alpha(it)
                 key_frames = self._keyframe_frames()
                 pool_key = jnp.asarray(key_frames, dtype=jnp.int32)
             if it in self.hp.upsamp_list and self.mode in (
                 "static", "static_dynamic"):
+                if self._use_alpha():
+                    self.check_counters(f"pre-upsample@{it}")
                 self.stage_upsample(it)
                 key_frames = self._keyframe_frames()
                 pool_key = jnp.asarray(key_frames, dtype=jnp.int32)
+        if self._use_alpha():
+            self.check_counters(f"train-end@{self.global_step}")
         return metrics
 
     @staticmethod

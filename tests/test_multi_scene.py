@@ -135,3 +135,33 @@ def test_multi_scene_stage_events_sharded():
     a = np.asarray(jax.tree.leaves(per_scene[0])[0])
     b = np.asarray(jax.tree.leaves(per_scene[1])[0])
     assert np.abs(a - b).max() > 1e-5
+
+
+def test_multi_scene_turbo_engages_with_shared_budget():
+    """nvfi.turbo engages at the alpha event with the MAX-over-scenes probed
+    budget, re-probes at the next upsample, and every scene stays exact
+    (per-scene running-max dropped_blocks == 0)."""
+    scenes = []
+    for i in range(2):
+        objs = [RigidSphere(center=(0.5, 0, 0.3 * i), radius=0.4 + 0.1 * i,
+                            color=(0.8, 0.3, 0.3), omega=(0, 0, 1.0))]
+        scenes.append(make_synthetic_scene(n_train=6, n_val=1, n_test=1,
+                                           H=24, W=24, objects=objs, seed=i))
+    cfg = small_cfg(**{
+        "renderer.n_rays": 64, "experiment.vel_reg_n_pts": 64,
+        "nvfi.max_n_samples": 32, "experiment.print_every": 100,
+        "nvfi.N_voxel_init": 4096, "nvfi.N_voxel_final": 10648,
+        "nvfi.upsamp_list": [5], "nvfi.update_AlphaMask_list": [3],
+        "nvfi.turbo": True, "nvfi.sample_block": 16,
+    })
+    mesh = make_mesh(2)
+    tr = MultiSceneTrainer(cfg, scenes, mesh=mesh)
+    assert not tr.meta.train_occupancy_prune
+    m = tr.train(iters=8)
+    # turbo engaged at the alpha event and survived the upsample re-probe
+    assert tr.meta.train_occupancy_prune
+    assert 0.0 < tr.meta.block_budget <= 1.0
+    # exactness: no scene dropped an active block under the shared budget
+    c = tr.check_counters("test")
+    assert c["max_dropped_blocks"].max() == 0.0
+    assert np.isfinite(np.asarray(m["loss"])).all()
