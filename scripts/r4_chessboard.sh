@@ -37,7 +37,8 @@ while true; do
   fi
   sleep 60
 done
-echo "[chess] TPU free at $(date); launching supervised training"
+echo "[chess] TPU free at $(date); bench sweep first, then supervised training"
+bash scripts/r4_bench_sweep.sh > $LOG/bench_sweep_r4.log 2>&1
 
 python -u train_nvfi.py --config configs/synth/chessboard.yaml --synthetic \
   --synth_res "$RES" --synth_frames "$FRAMES" --static_dynamic --supervise \
