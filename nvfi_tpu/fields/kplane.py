@@ -83,6 +83,9 @@ class KPlaneMeta:
     use_vel: bool = True
     vel_hidden: int = 128  # velocity-MLP width (reference 128); >128 is the
     # extrapolation-gap capacity experiment (NEXT.md §6)
+    dt_scale: float = 1.0  # multiplies dt_max (see the property): < 1 = finer
+    # RK2 advection, an eval-time probe separating integration error from
+    # method-level extrapolation error
     vel_gate: VelGate = field(default_factory=lambda: VelGate("aabb", 0.03))
     mask_dim: int = 0  # >0 when a segmentation MaskField head is attached
     alpha_grid: tuple = ()  # (D,H,W) of the occupancy volume; () = no mask
@@ -163,8 +166,19 @@ class KPlaneMeta:
 
     @property
     def dt_max(self) -> float:
-        # reference models/tensorf_keyframe.py:577
-        return 0.5 * self.tmax / (self.num_keyframes - 1) if self.num_keyframes > 1 else 1.0
+        # reference models/tensorf_keyframe.py:577; dt_scale < 1 refines the
+        # RK2 advection step (an eval-time integration-accuracy probe for the
+        # extrapolation gap, NEXT.md §6 — the step counts below all scale
+        # with it, so renders stay exact w.r.t. the finer integrator)
+        if self.num_keyframes <= 1:
+            return 1.0
+        return 0.5 * self.tmax / (self.num_keyframes - 1) * self.dt_scale
+
+    @property
+    def snap_steps(self) -> int:
+        """Steps covering one post-snap offset (|offset| <= Delta/2): exactly
+        1 at dt_scale=1, ceil(1/dt_scale) under a refined integrator."""
+        return max(1, int(math.ceil(1.0 / self.dt_scale - 1e-9)))
 
     @property
     def max_adv_steps(self) -> int:
@@ -194,7 +208,8 @@ class KPlaneMeta:
         """
         if self.num_keyframes <= 1 or self.tmax <= 0:
             return 1
-        return max(1, int(math.ceil((1.0 - self.tmax) / self.dt_max - 1e-9)) + 1)
+        return max(1, int(math.ceil((1.0 - self.tmax) / self.dt_max - 1e-9))
+                   + self.snap_steps)
 
 
 def render_steps_for_time(meta: KPlaneMeta, t: float, transfer: bool = False) -> int:
@@ -213,8 +228,10 @@ def render_steps_for_time(meta: KPlaneMeta, t: float, transfer: bool = False) ->
         # offset is the full t (advect back to the canonical t=0 frame)
         return max(1, int(math.ceil(float(t) / meta.dt_max - 1e-9)))
     if float(t) <= meta.tmax + 1e-6:
-        return 1  # |t - snap(t)| <= dt_max inside the training window
-    return max(1, int(math.ceil((float(t) - meta.tmax) / meta.dt_max - 1e-9)) + 1)
+        # |t - snap(t)| <= Delta/2 inside the training window
+        return meta.snap_steps
+    return max(1, int(math.ceil((float(t) - meta.tmax) / meta.dt_max - 1e-9))
+               + meta.snap_steps)
 
 
 def eval_exact_meta(meta: KPlaneMeta) -> KPlaneMeta:
@@ -274,6 +291,7 @@ def meta_from_cfg(nvfi_cfg, aabb, grid_size, near_far) -> KPlaneMeta:
         max_n_samples=int(nvfi_cfg.max_n_samples),
         use_vel=bool(nvfi_cfg.use_vel),
         vel_hidden=int(nvfi_cfg.get("vel_hidden", 128)),
+        dt_scale=float(nvfi_cfg.get("dt_scale", 1.0)),
         vel_gate=gate,
         compute_dtype=str(nvfi_cfg.get("compute_dtype", "float32")),
         train_occupancy_prune=bool(nvfi_cfg.get("train_occupancy_prune", False)),
@@ -764,7 +782,9 @@ def render_rays(
             elif transfer_vel:
                 n_steps = meta.transfer_adv_steps
             elif training:
-                n_steps = 1
+                # snap guarantees |offset| <= Delta/2 = unscaled dt_max; at
+                # dt_scale < 1 the same offset needs 1/dt_scale finer steps
+                n_steps = meta.snap_steps
             else:
                 n_steps = meta.render_adv_steps
             advected = integrate_pos(cp, meta, xyz, t, base_times, n_steps=n_steps)
@@ -1074,7 +1094,8 @@ def compute_dense_alpha(params, meta: KPlaneMeta, grid_size: tuple, transfer: bo
         if transfer:
             n_steps = meta.transfer_adv_steps
         else:
-            n_steps = 1 if tval <= meta.tmax + 1e-6 else meta.render_adv_steps
+            n_steps = (meta.snap_steps if tval <= meta.tmax + 1e-6
+                       else meta.render_adv_steps)
         for c in range(n_chunks):
             alpha[c] = jnp.maximum(
                 alpha[c],

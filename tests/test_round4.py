@@ -258,6 +258,32 @@ def test_vel_hidden_widens_and_roundtrips(tmp_path):
     assert checkpoint.meta_from_json(legacy).vel_hidden == 128
 
 
+def test_dt_scale_refines_steps_and_preserves_renders():
+    """dt_scale < 1 refines every static RK2 step count consistently; at a
+    near-zero velocity field (random init) the refined integrator must agree
+    with the coarse one to integration noise."""
+    meta1 = make_meta()
+    meta_h = replace(meta1, dt_scale=0.5)
+    assert meta_h.snap_steps == 2 * meta1.snap_steps
+    assert abs(meta_h.dt_max - 0.5 * meta1.dt_max) < 1e-12
+    for t in (0.3, 0.75, 0.9, 1.0):
+        s1 = kplane.render_steps_for_time(meta1, t)
+        sh = kplane.render_steps_for_time(meta_h, t)
+        assert sh >= 2 * s1 - 1, (t, s1, sh)
+
+    params = kplane.init_params(jax.random.PRNGKey(0), meta1)
+    ro, rd, t = make_rays(n=16)
+    t = t * 0.0 + 0.95  # extrapolation times (the probe's regime)
+    o1 = kplane.render_rays(params, meta1, t, ro, rd,
+                            key=jax.random.PRNGKey(2), training=False,
+                            white_bg=True)
+    oh = kplane.render_rays(params, meta_h, t, ro, rd,
+                            key=jax.random.PRNGKey(2), training=False,
+                            white_bg=True)
+    np.testing.assert_allclose(np.asarray(o1["rgb"]), np.asarray(oh["rgb"]),
+                               atol=5e-3)
+
+
 # ---------------------------------------------------------------------------
 # Chessboard ('sur'-gated family) synthetic preset sanity
 # ---------------------------------------------------------------------------
