@@ -2,10 +2,13 @@
 # Round-4 bench sweep (one TPU process at a time; caller guarantees the chip
 # is free).  Measures, on the real chip with the committed bench protocol:
 #   a) default        — shade 0.25, SB 64, shade_reuse ON (item-2 gain vs r3)
-#   b) shade 0.125    — the quality run in flight certifies this config
-#   c) b + SB 32      — finer block granularity (exactness-certified by the
-#   d) b + SB 16        bench's dropped==0 assert; no quality run needed)
-#   e) shade_reuse off — round-3 re-gather path, isolates the reuse gain
+#   b) SB 32          — finer block granularity at the CERTIFIED shade 0.25
+#   c) SB 16            (exactness-certified by the bench's dropped==0
+#                        assert; no quality run needed)
+#   d) shade_reuse off — round-3 re-gather path, isolates the reuse gain
+#   e) shade 0.125    — for the record: its 30k quality run FAILED the 0.5 dB
+#                       gate (test 20.66 vs dense 21.73, logs/eval_all_30k_s125.log),
+#                       so this config is NOT the benched one
 # Each line of logs/bench_sweep_r4.jsonl: {"tag": ..., <bench JSON>}.
 set -u
 cd /root/repo
@@ -26,8 +29,8 @@ sweep() {
 }
 
 sweep default
-sweep s125       nvfi.shade_fraction 0.125
-sweep s125_sb32  nvfi.shade_fraction 0.125 nvfi.sample_block 32
-sweep s125_sb16  nvfi.shade_fraction 0.125 nvfi.sample_block 16
+sweep sb32       nvfi.sample_block 32
+sweep sb16       nvfi.sample_block 16
 sweep noreuse    nvfi.shade_reuse False
+sweep s125       nvfi.shade_fraction 0.125
 echo "[sweep] DONE at $(date)"
