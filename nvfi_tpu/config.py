@@ -1,11 +1,12 @@
 """Config system: attribute-access config tree loading the reference YAML schema.
 
-Covers the actually-used surface of the reference's YACS-style CfgNode
-(reference utils/cfgnode.py:36-264): construction from nested dicts, attribute
-access, yaml load/dump, merge from file / dotted-key list with type coercion,
-and freeze/defrost immutability.  The reference's deprecated/renamed-key
-registry (utils/cfgnode.py:270-319) is intentionally dropped — nothing in the
-shipped configs uses it.
+Covers the reference's YACS-style CfgNode surface (reference
+utils/cfgnode.py:36-319): construction from nested dicts, attribute access,
+yaml load/dump, merge from file / dotted-key list with type coercion,
+freeze/defrost immutability, and the deprecated/renamed-key registry
+(utils/cfgnode.py:270-319 — deprecated keys warn and are ignored on merge;
+renamed keys raise with the new name).  No shipped config registers any, but
+the mechanism exists for schema evolution, same as upstream.
 
 The shipped scene configs under configs/ use the same five-block schema as the
 reference (wandb / experiment / dataset / renderer / nvfi / segmentation,
@@ -98,6 +99,10 @@ class CfgNode(dict):
         """Merge from a flat ["a.b.c", value, ...] list with type coercion."""
         assert len(opts) % 2 == 0, "override list must be key/value pairs"
         for key, value in zip(opts[0::2], opts[1::2]):
+            if self.key_is_deprecated(key):
+                continue
+            if self.key_is_renamed(key):
+                self._raise_key_rename_error(key)
             node = self
             parts = key.split(".")
             for p in parts[:-1]:
@@ -106,10 +111,50 @@ class CfgNode(dict):
             old = node.get(leaf, None)
             node[leaf] = _coerce(value, old, key)
 
-    def _merge(self, other: "CfgNode"):
+    # -- deprecated / renamed key registry (reference utils/cfgnode.py:270-319):
+    # deprecated keys are warned about and IGNORED on merge; renamed keys
+    # raise a KeyError naming the replacement.  Registries live on the
+    # instance's __dict__, never inside the config content.
+    def register_deprecated_key(self, key: str):
+        self._registry("_deprecated_keys", set).add(key)
+
+    def register_renamed_key(self, old: str, new: str, message: str | None = None):
+        self._registry("_renamed_keys", dict)[old] = (new, message)
+
+    def key_is_deprecated(self, key: str) -> bool:
+        if key in self.__dict__.get("_deprecated_keys", ()):
+            import warnings
+
+            warnings.warn(f"deprecated config key (ignoring): {key}")
+            return True
+        return False
+
+    def key_is_renamed(self, key: str) -> bool:
+        return key in self.__dict__.get("_renamed_keys", ())
+
+    def _raise_key_rename_error(self, key: str):
+        new, message = self.__dict__["_renamed_keys"][key]
+        note = f" Note: {message}" if message else ""
+        raise KeyError(
+            f"Key {key} was renamed to {new}; please update your config.{note}"
+        )
+
+    def _registry(self, name: str, factory):
+        if name not in self.__dict__:
+            object.__setattr__(self, name, factory())
+        return self.__dict__[name]
+
+    def _merge(self, other: "CfgNode", _root: "CfgNode | None" = None,
+               _prefix: str = ""):
+        root = self if _root is None else _root  # registries live on the root
         for k, v in other.items():
+            full = _prefix + k
+            if root.key_is_deprecated(full):
+                continue
+            if root.key_is_renamed(full):
+                root._raise_key_rename_error(full)
             if isinstance(v, CfgNode) and isinstance(self.get(k), CfgNode):
-                self[k]._merge(v)
+                self[k]._merge(v, _root=root, _prefix=full + ".")
             else:
                 self[k] = copy.deepcopy(v)
 

@@ -258,6 +258,37 @@ def test_vel_hidden_widens_and_roundtrips(tmp_path):
     assert checkpoint.meta_from_json(legacy).vel_hidden == 128
 
 
+def test_cfgnode_deprecated_and_renamed_keys():
+    """Reference utils/cfgnode.py:270-319 semantics: deprecated keys warn and
+    are IGNORED on merge (file and list); renamed keys raise with the new
+    name.  Registries live outside the config content (dump unaffected)."""
+    import warnings
+
+    from nvfi_tpu.config import CfgNode
+
+    cfg = CfgNode({"nvfi": {"shade_fraction": 0.25}, "experiment": {"lr": 1.0}})
+    cfg.register_deprecated_key("nvfi.old_knob")
+    cfg.register_renamed_key("experiment.lr_old", "experiment.lr",
+                             message="renamed in round 2")
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cfg.merge_from_list(["nvfi.old_knob", "3", "nvfi.shade_fraction", "0.5"])
+    assert any("deprecated" in str(x.message) for x in w)
+    assert "old_knob" not in cfg.nvfi and cfg.nvfi.shade_fraction == 0.5
+
+    with pytest.raises(KeyError, match="renamed to experiment.lr"):
+        cfg.merge_from_list(["experiment.lr_old", "2.0"])
+
+    other = CfgNode({"nvfi": {"old_knob": 7, "shade_fraction": 0.125}})
+    with warnings.catch_warnings(record=True):
+        warnings.simplefilter("ignore")
+        cfg.merge_from_other_cfg(other)
+    assert "old_knob" not in cfg.nvfi  # nested deprecated key ignored
+    assert cfg.nvfi.shade_fraction == 0.125
+    assert "_deprecated" not in cfg.dump()  # registry not config content
+
+
 def test_dt_scale_refines_steps_and_preserves_renders():
     """dt_scale < 1 refines every static RK2 step count consistently; at a
     near-zero velocity field (random init) the refined integrator must agree
