@@ -110,7 +110,9 @@ def main():
         # latest checkpoint in --logdir
         from nvfi_tpu.train.supervisor import run_supervised
 
-        base = [sys.executable, os.path.abspath(sys.argv[0])] + [
+        # -u: the child's log is tailed live by humans and watchdogs; without
+        # it stdout buffers and the log lags minutes behind the heartbeat
+        base = [sys.executable, "-u", os.path.abspath(sys.argv[0])] + [
             a for a in sys.argv[1:] if a != "--supervise"
         ]
 
