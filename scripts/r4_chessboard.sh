@@ -3,9 +3,14 @@
 # InDoorSeg stand-in (configs/synth/chessboard.yaml — black bg, K=4,
 # VelocityAABBSur gating, NO alpha events, upsamples to 8M voxels) to
 # convergence, then run the full quality battery (eval renders + velocity EPE
-# + segm distill + segm metrics).  Dense path (no turbo): the shade-0.125
-# quality evidence is bat-only, so the first convergence evidence for this
-# family stays unambiguous.
+# + segm distill + segm metrics).  Runs the PRODUCTION defaults: dense block
+# sampling (block_budget 1.0 — chessboard.yaml sets no turbo keys) with the
+# quality-certified shade cap 0.25, i.e. the same shading config the bat 30k
+# turbo evidence covers — so this run doubles as that config's first
+# certification on the second (sur-gated) scene family.  The
+# "[turbo] stage truncation" lines in chess30k.log are the device-side
+# running-max counters reporting the shade-cap truncation at stage
+# boundaries, as designed.
 #
 # Waits for the bat post-queue to finish first (ONE TPU process at a time).
 # Training runs under the new in-framework supervisor (train_nvfi --supervise)
