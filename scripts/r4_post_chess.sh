@@ -43,8 +43,8 @@ run() {
 }
 
 T=900  run python -u bench.py 8192 nvfi.sample_block 8 2>&1 | tee $LOG/bench_sb8.log
-T=2400 run python -u scripts/extrap_dt_probe.py --scene_dir logs/synth/bat30k_s125 \
-         > $LOG/extrap_dt_probe.log 2>&1
 T=2400 run python -u scripts/extrap_ablate.py --arms D --iters 4000 \
          --out logs/extrap_ablate_r4.json > $LOG/extrap_ablate_D.log 2>&1
+T=2400 run python -u scripts/extrap_dt_probe.py --scene_dir logs/synth/bat30k_s125 \
+         > $LOG/extrap_dt_probe.log 2>&1
 echo "[post] ALL DONE at $(date -u)"
