@@ -336,3 +336,59 @@ def test_chessboard_preset_respects_surround_box():
             assert (np.abs(c) + o.r < sur).all(), (o.color, t, c)
     # at least one static object sits OUTSIDE the surround box
     assert any((np.abs(o.c0) + o.r > sur).any() for o in static)
+
+
+# ---------------------------------------------------------------------------
+# Device-side exactness counters (advisor r3 medium finding)
+# ---------------------------------------------------------------------------
+
+def test_counters_running_max_in_jit_and_check():
+    """Pin the counter mechanism that certifies turbo exactness on UNLOGGED
+    steps: update_counters folds a per-step running max inside jit (keys the
+    step's metrics omit are carried through), and Trainer._check_counters
+    surfaces dropped_blocks > 0 loudly, reports dropped_shade at stage
+    resets, and restarts the running max only on reset=True."""
+    import io
+    from contextlib import redirect_stdout
+    from types import SimpleNamespace
+
+    from nvfi_tpu.train.trainer import Trainer, init_counters, update_counters
+
+    @jax.jit
+    def fold(counters, db, ds):
+        return update_counters(
+            counters, {"dropped_blocks": db, "dropped_shade": ds})
+
+    c = init_counters()
+    assert float(c["dropped_blocks"]) == 0.0 and float(c["dropped_shade"]) == 0.0
+    for db, ds in [(0.0, 7.0), (3.0, 2.0), (1.0, 5.0)]:
+        c = fold(c, jnp.asarray(db), jnp.asarray(ds))
+    assert float(c["dropped_blocks"]) == 3.0   # max, not sum/last
+    assert float(c["dropped_shade"]) == 7.0
+    # a step whose metrics dict omits a counter key leaves it untouched
+    c = update_counters(c, {"dropped_shade": jnp.asarray(9.0)})
+    assert float(c["dropped_blocks"]) == 3.0
+    assert float(c["dropped_shade"]) == 9.0
+
+    stub = SimpleNamespace(
+        counters=c, meta=SimpleNamespace(block_budget=0.2, shade_fraction=0.25))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out = Trainer._check_counters(stub, "unit", reset=False)
+    assert out == {"max_dropped_blocks": 3.0, "max_dropped_shade": 9.0}
+    assert "EXACTNESS VIOLATION" in buf.getvalue()          # blocks > 0 is loud
+    assert float(stub.counters["dropped_blocks"]) == 3.0    # no reset requested
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out = Trainer._check_counters(stub, "stage", reset=True)
+    assert "stage truncation" in buf.getvalue()             # shade report at stages
+    assert float(stub.counters["dropped_blocks"]) == 0.0    # running max restarted
+    assert float(stub.counters["dropped_shade"]) == 0.0
+
+    # zero counters: silent, nothing reported even at a reset
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out = Trainer._check_counters(stub, "clean", reset=True)
+    assert buf.getvalue() == ""
+    assert out == {"max_dropped_blocks": 0.0, "max_dropped_shade": 0.0}
