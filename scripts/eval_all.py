@@ -20,7 +20,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--config", default="configs/synth/bat.yaml")
+    # default None = prefer the config the TRAINER dumped into the scene dir
+    # (train_nvfi.py writes <logdir>/config.yaml, mirroring the reference's
+    # startup snapshot at train_nvfi.py:50-51) — evaluating a checkpoint
+    # against another scene's ground truth by a stale default is exactly the
+    # class of error this prevents
+    parser.add_argument("--config", default=None)
     parser.add_argument("--scene_dir", required=True)
     parser.add_argument("--checkpoint", type=int, default=-1)
     parser.add_argument("--res", type=int, default=128)
@@ -39,7 +44,12 @@ def main():
     from nvfi_tpu.eval.velocity_eval import advection_error, velocity_epe
     from nvfi_tpu.train import checkpoint as ck
 
-    cfg = load_config(args.config)
+    config_path = args.config
+    if config_path is None:
+        dumped = os.path.join(args.scene_dir, "config.yaml")
+        config_path = dumped if os.path.exists(dumped) else "configs/synth/bat.yaml"
+        print(f"[eval_all] using config {config_path}")
+    cfg = load_config(config_path)
     path = ck.find_checkpoint(args.scene_dir, args.checkpoint)
     assert path, f"no checkpoint under {args.scene_dir}"
     params, meta, _, _, extra = ck.load(path)
