@@ -562,6 +562,10 @@ class Trainer:
         self.turbo = bool(cfg.nvfi.get("turbo", False))
         self.turbo_budget = float(cfg.nvfi.get("turbo_budget", 0.0))  # 0=probe
         self._shade_cap = float(self.meta.shade_fraction)
+        # nvfi.shade_follow_probe: let the per-stage shade fraction follow the
+        # probe's provably-exact bound even above the config cap (zero shade
+        # truncation, slower early stages) — turbo_mod.shade_cap_policy
+        self._shade_follow_probe = bool(cfg.nvfi.get("shade_follow_probe", False))
         if self.turbo:
             self.meta = _dc_replace(
                 self.meta, train_occupancy_prune=False, block_budget=1.0
@@ -629,12 +633,15 @@ class Trainer:
         # The probed shade fraction PROVABLY covers every above-threshold
         # sample, but the occupied-count bound is loose on scenes whose
         # time-maxed mask sweeps most of the ray (measured 0.82 on bat at
-        # final scale, i.e. near-dense shading).  Cap at the config's
-        # shade_fraction: that truncating configuration carries the 30k-run
-        # quality evidence (BASELINE.md), and the per-step dropped_shade
-        # counter keeps the truncation honest.  The probe still WINS whenever
-        # it comes in under the cap (provably-exact smaller budget).
-        shade = min(float(shade), self._shade_cap)
+        # final scale, i.e. near-dense shading).  Default policy: cap at the
+        # config's shade_fraction — the truncating configuration that carries
+        # the 30k-run quality evidence (BASELINE.md), with the per-step
+        # dropped_shade counter keeping the truncation honest.  The probe
+        # still WINS whenever it comes in under the cap (provably-exact
+        # smaller budget); nvfi.shade_follow_probe opts into the uncapped
+        # exact bound (turbo_mod.shade_cap_policy).
+        shade = turbo_mod.shade_cap_policy(shade, self._shade_cap,
+                                           self._shade_follow_probe)
         self.meta = _dc_replace(
             self.meta, block_budget=float(budget), shade_fraction=shade
         )

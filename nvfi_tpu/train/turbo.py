@@ -170,3 +170,21 @@ def measure_block_budget(
     n_s = max(meta.n_samples, 1)
     shade = min(1.0, max((max_occ * margin + 8.0) / n_s, 16.0 / n_s))
     return budget, shade
+
+
+def shade_cap_policy(probed: float, cap: float, follow_probe: bool) -> float:
+    """Resolve the per-stage shade fraction from the probe and the config cap.
+
+    Default (``follow_probe=False``): cap the probed bound at the config's
+    ``shade_fraction`` — the truncating configuration that carries the 30k
+    quality evidence (BASELINE.md); the ``dropped_shade`` running-max counter
+    quantifies whatever the cap truncates.  With ``follow_probe=True``
+    (``nvfi.shade_follow_probe``) the probed bound is used even above the cap:
+    provably zero shade truncation (the probe covers every above-threshold
+    sample with margin) at the cost of near-dense shading wall-clock early in
+    stages — motivated by the sur-family run, where the stage-boundary
+    truncation accepted by the cap reached ~250k samples/step (vs ~3.7k on
+    bat).  UNCERTIFIED for throughput claims: the benched config stays capped.
+    """
+    probed = float(probed)
+    return probed if follow_probe else min(probed, float(cap))

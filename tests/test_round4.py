@@ -392,3 +392,18 @@ def test_counters_running_max_in_jit_and_check():
         out = Trainer._check_counters(stub, "clean", reset=True)
     assert buf.getvalue() == ""
     assert out == {"max_dropped_blocks": 0.0, "max_dropped_shade": 0.0}
+
+
+# ---------------------------------------------------------------------------
+# shade_cap_policy: the config cap vs the probe-follow (exact) policy
+# ---------------------------------------------------------------------------
+
+def test_shade_cap_policy():
+    """Default policy caps the probed shade bound at the config fraction
+    (the quality-evidenced truncating configuration); shade_follow_probe
+    uses the probe's provably-exact bound even above the cap.  Either way a
+    probe UNDER the cap wins (smaller provably-exact budget)."""
+    assert turbo.shade_cap_policy(0.82, 0.25, follow_probe=False) == 0.25
+    assert turbo.shade_cap_policy(0.82, 0.25, follow_probe=True) == 0.82
+    assert turbo.shade_cap_policy(0.10, 0.25, follow_probe=False) == 0.10
+    assert turbo.shade_cap_policy(0.10, 0.25, follow_probe=True) == 0.10

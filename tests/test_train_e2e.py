@@ -356,3 +356,32 @@ def test_render_split_resets_training_turbo_budgets(tiny_scene):
                                  white_bg=True, alpha_grid=16)
     assert np.isfinite(preds).all()
     assert np.isfinite(errors["psnr"])
+
+
+def test_shade_follow_probe_uncaps_the_stage_shade(tiny_scene, monkeypatch):
+    """nvfi.shade_follow_probe: _reprobe_turbo adopts the probe's exact shade
+    bound even above the config cap (zero shade truncation by construction);
+    default policy caps at the config fraction.  Probe monkeypatched so the
+    policy branch is what's under test."""
+    from nvfi_tpu.train.trainer import Trainer
+    from nvfi_tpu.train import turbo as turbo_mod
+
+    def fake_probe(*a, **kw):
+        return 0.5, 0.9  # budget, probed shade (above the 0.25 cap)
+
+    for follow, expect in [(False, 0.25), (True, 0.9)]:
+        cfg = small_cfg(**{
+            "renderer.n_rays": 64, "experiment.vel_reg_n_pts": 64,
+            "nvfi.max_n_samples": 24, "nvfi.turbo": True,
+            "nvfi.shade_fraction": 0.25,
+            "nvfi.shade_follow_probe": follow,
+        })
+        tr = Trainer(cfg, tiny_scene, mode="static_dynamic")
+        from dataclasses import replace as _rep
+        tr.meta = _rep(tr.meta, train_occupancy_prune=True)
+        tr.alpha_state = {"volume": jnp.ones((4, 4, 4)),
+                          "aabb": jnp.asarray([[-1.0] * 3, [1.0] * 3])}
+        monkeypatch.setattr(turbo_mod, "measure_block_budget", fake_probe)
+        tr._reprobe_turbo("test")
+        assert tr.meta.shade_fraction == expect, (follow, tr.meta.shade_fraction)
+        assert tr.meta.block_budget == 0.5
