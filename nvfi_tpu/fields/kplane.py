@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.grid_sample import grid_sample_2d_block as grid_sample_2d
+from ..ops.grid_sample import grid_sample_2d_block_multi
 from ..ops.grid_sample import grid_sample_3d
 from ..ops.compositing import raw2alpha
 from ..ops.resize import resize_bilinear_ac, max_pool3d_same
@@ -127,6 +128,12 @@ class KPlaneMeta:
     # block_budget => fewer gather indices) at the cost of more top_k scores;
     # the round-3 attribution (docs/pallas_decision.md §5) identifies this as
     # the remaining path toward the 20k rays/s bar.
+    gather_fuse: bool = False  # fuse the 6 per-plane quad-row gathers (3
+    # space + 3 time) into ONE gather on a row-concatenated table (and the
+    # backward into one scatter-add): docs/pallas_decision.md §5 lever (b),
+    # cutting gather *op count* at identical index count and bit-identical
+    # math (tests/test_gather_fuse.py).  Off until the real-chip bench
+    # certifies a win; flip via ``nvfi.gather_fuse true``.
     shade_reuse: bool = True  # shade pass reuses the density pass's quad-row
     # gathers: the density pass gathers the FULL merged channel rows (gather
     # cost is per-index, not per-byte — docs/pallas_decision.md §2) and saves
@@ -303,6 +310,7 @@ def meta_from_cfg(nvfi_cfg, aabb, grid_size, near_far) -> KPlaneMeta:
         shade_fraction=float(nvfi_cfg.get("shade_fraction", 0.25)),
         sample_block=int(nvfi_cfg.get("sample_block", 64)),
         shade_reuse=bool(nvfi_cfg.get("shade_reuse", True)),
+        gather_fuse=bool(nvfi_cfg.get("gather_fuse", False)),
     )
 
 
@@ -420,7 +428,8 @@ def snap_to_keyframe(meta: KPlaneMeta, t):
 # Feature evaluation
 # ---------------------------------------------------------------------------
 
-def _plane_product(planes_space, planes_time, xyzt, compute_dtype=None):
+def _plane_product(planes_space, planes_time, xyzt, compute_dtype=None,
+                   fuse: bool = False):
     """Product of 3 space-plane and 3 time-plane bilinear samples.
 
     xyzt: (..., 4) with spatial dims normalized to [-1,1] and time already
@@ -428,17 +437,32 @@ def _plane_product(planes_space, planes_time, xyzt, compute_dtype=None):
     (in ``compute_dtype`` when given — the tent weighting and the five
     cross-plane products run at reduced precision, mirroring the reference's
     AMP fp16 autocast around this exact chain, train_nvfi.py:144).
+
+    ``fuse`` (meta.gather_fuse): issue the 6 plane lookups as ONE gather on a
+    row-concatenated quad table instead of 6 gather ops — bit-identical
+    output (tests/test_gather_fuse.py), targets the per-op dispatch floor
+    (docs/pallas_decision.md §5 lever (b)).
     """
+    coords = []
+    for i in range(3):
+        m0, m1 = MAT_SPACE[i]
+        coords.append(jnp.stack([xyzt[..., m0], xyzt[..., m1]], axis=-1))
+    for i in range(3):
+        mt0, mt1 = MAT_TIME[i]
+        coords.append(jnp.stack([xyzt[..., mt0], xyzt[..., mt1]], axis=-1))
+
+    if fuse:
+        s = grid_sample_2d_block_multi(
+            list(planes_space) + list(planes_time), coords, compute_dtype
+        )
+        return ((s[0] * s[1]) * s[2]) * ((s[3] * s[4]) * s[5])
+
     feat_space = None
     feat_time = None
     for i in range(3):
-        m0, m1 = MAT_SPACE[i]
-        c_space = jnp.stack([xyzt[..., m0], xyzt[..., m1]], axis=-1)
-        s = grid_sample_2d(planes_space[i], c_space, compute_dtype)
+        s = grid_sample_2d(planes_space[i], coords[i], compute_dtype)
         feat_space = s if feat_space is None else feat_space * s
-        mt0, mt1 = MAT_TIME[i]
-        c_time = jnp.stack([xyzt[..., mt0], xyzt[..., mt1]], axis=-1)
-        tfeat = grid_sample_2d(planes_time[i], c_time, compute_dtype)
+        tfeat = grid_sample_2d(planes_time[i], coords[3 + i], compute_dtype)
         feat_time = tfeat if feat_time is None else feat_time * tfeat
     return feat_space * feat_time
 
@@ -466,7 +490,7 @@ def field_features(params, meta: KPlaneMeta, xyzt):
     exact because the cross-plane product is elementwise per channel.
     """
     fused = _plane_product(params["planes_space"], params["planes_time"], xyzt,
-                           _compute_dtype(meta))
+                           _compute_dtype(meta), fuse=meta.gather_fuse)
     cd = meta.density_n_comp
     density = _decode_density(params, meta, fused[..., :cd])
     app = fused[..., cd:] @ params["basis_mat"]["w"].astype(fused.dtype)
@@ -485,6 +509,7 @@ def density_feature(params, meta: KPlaneMeta, xyzt):
         [p[..., :cd] for p in params["planes_time"]],
         xyzt,
         _compute_dtype(meta),
+        fuse=meta.gather_fuse,
     )
     return _decode_density(params, meta, fused)
 
@@ -497,6 +522,7 @@ def app_feature(params, meta: KPlaneMeta, xyzt):
         [p[..., cd:] for p in params["planes_time"]],
         xyzt,
         _compute_dtype(meta),
+        fuse=meta.gather_fuse,
     )
     return fused @ params["basis_mat"]["w"].astype(fused.dtype)
 

@@ -129,6 +129,83 @@ def grid_sample_2d_block(plane: jnp.ndarray, coords: jnp.ndarray,
     return out.reshape(*batch_shape, C)
 
 
+def grid_sample_2d_block_multi(planes, coords, compute_dtype=None) -> jnp.ndarray:
+    """Sample N same-channel-width planes with ONE fused flat row-gather.
+
+    The per-plane :func:`grid_sample_2d_block` issues one gather op per plane;
+    at the K-plane hot path that is 6 gather ops (3 space + 3 time) per
+    evaluation, and the jax-0.9 micro-probe (docs/pallas_decision.md §5) puts
+    the per-op dispatch floor above the per-index VJP cost at bench scale — so
+    op count, not index count, is the next term.  This variant concatenates
+    the N cell-quad tables along the row axis (all planes share the channel
+    width C, so the 4C-wide rows align) and fetches every plane's row in a
+    single gather of N·P indices; the backward pass likewise becomes ONE
+    scatter-add into the concatenated table.
+
+    Bit-identical to the per-plane path: same rows, same tent weights, same
+    4-term summation order, same dtype casts (pinned by
+    tests/test_gather_fuse.py).
+
+    Args:
+      planes: sequence of (Hi, Wi, C) channels-last planes (shared C, shapes
+              may differ otherwise).
+      coords: sequence of (..., 2) normalized coords, one per plane, sharing
+              one batch shape.
+      compute_dtype: as in grid_sample_2d_block.
+
+    Returns:
+      (N, ..., C) stacked samples; slice [i] equals
+      grid_sample_2d_block(planes[i], coords[i], compute_dtype).
+    """
+    n = len(planes)
+    C = planes[0].shape[-1]
+    quads = []
+    offsets = []
+    off = 0
+    for p in planes:
+        H, W, Cp = p.shape
+        assert Cp == C, "fused gather requires a shared channel width"
+        quads.append(make_quad_plane(p).reshape((H - 1) * (W - 1), 4 * C))
+        offsets.append(off)
+        off += (H - 1) * (W - 1)
+    table = jnp.concatenate(quads, axis=0)
+
+    batch_shape = coords[0].shape[:-1]
+    idxs = []
+    wts = []
+    for p, c, o in zip(planes, coords, offsets):
+        H, W, _ = p.shape
+        x = (c[..., 0] + 1.0) * 0.5 * (W - 1)
+        y = (c[..., 1] + 1.0) * 0.5 * (H - 1)
+        xf = x.reshape(-1)
+        yf = y.reshape(-1)
+        x0 = jnp.clip(jnp.floor(xf).astype(jnp.int32), 0, max(W - 2, 0))
+        y0 = jnp.clip(jnp.floor(yf).astype(jnp.int32), 0, max(H - 2, 0))
+        idxs.append(y0 * (W - 1) + x0 + o)
+        x0f = x0.astype(xf.dtype)
+        y0f = y0.astype(yf.dtype)
+        wx0 = jnp.clip(1.0 - jnp.abs(xf - x0f), 0.0, 1.0)
+        wx1 = jnp.clip(1.0 - jnp.abs(xf - (x0f + 1.0)), 0.0, 1.0)
+        wy0 = jnp.clip(1.0 - jnp.abs(yf - y0f), 0.0, 1.0)
+        wy1 = jnp.clip(1.0 - jnp.abs(yf - (y0f + 1.0)), 0.0, 1.0)
+        # corner order matches the quad channel layout [y0x0, y0x1, y1x0, y1x1]
+        wts.append(jnp.stack([wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1], axis=-1))
+
+    rows = table[jnp.concatenate(idxs, axis=0)]  # THE one gather: (n*P, 4C)
+    w = jnp.concatenate(wts, axis=0)  # (n*P, 4), f32 tent products as per-plane
+
+    cd = jnp.dtype(compute_dtype) if compute_dtype is not None else w.dtype
+    r = rows.astype(cd)
+    w = w.astype(cd)
+    out = (
+        r[:, 0 * C : 1 * C] * w[:, 0:1]
+        + r[:, 1 * C : 2 * C] * w[:, 1:2]
+        + r[:, 2 * C : 3 * C] * w[:, 2:3]
+        + r[:, 3 * C : 4 * C] * w[:, 3:4]
+    )
+    return out.reshape(n, *batch_shape, C)
+
+
 def grid_sample_1d(line: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     """Sample a channels-last line grid at normalized 1D coordinates.
 
