@@ -132,8 +132,11 @@ class KPlaneMeta:
     # space + 3 time) into ONE gather on a row-concatenated table (and the
     # backward into one scatter-add): docs/pallas_decision.md §5 lever (b),
     # cutting gather *op count* at identical index count and bit-identical
-    # math (tests/test_gather_fuse.py).  Off until the real-chip bench
-    # certifies a win; flip via ``nvfi.gather_fuse true``.
+    # math (tests/test_gather_fuse.py).  Measured NEGATIVE on the real chip
+    # (16,070 -> 13,502 rays/s at the benched protocol — XLA overlaps the six
+    # independent gathers better than one fused gather behind a larger index
+    # computation; docs/pallas_decision.md §5 "Path (b) measured").  Stays
+    # off; kept as the measured record.
     shade_reuse: bool = True  # shade pass reuses the density pass's quad-row
     # gathers: the density pass gathers the FULL merged channel rows (gather
     # cost is per-index, not per-byte — docs/pallas_decision.md §2) and saves
