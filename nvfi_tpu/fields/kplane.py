@@ -269,7 +269,8 @@ def meta_from_cfg(nvfi_cfg, aabb, grid_size, near_far) -> KPlaneMeta:
             axis=-1,
         )  # (2,3)
         bounds = (sur - aabb_np[0]) * 2.0 / (aabb_np[1] - aabb_np[0]) - 1.0
-        gate = VelGate("sur", bounds=(tuple(bounds[0].tolist()), tuple(bounds[1].tolist())))
+        gate = VelGate("sur", bounds=(tuple(bounds[0].tolist()), tuple(bounds[1].tolist())),
+                       world=(tuple(sur[0].tolist()), tuple(sur[1].tolist())))
     else:
         gate = VelGate("aabb", float(nvfi_cfg.get("eps", 0.03)))
     # lenient float: the reference ships a bitrotted value "0.75 4" in
@@ -1225,10 +1226,21 @@ def shrink(params: dict, meta: KPlaneMeta, new_aabb: np.ndarray):
     correct[1] = (1 - b_r_r) * a[0] + b_r_r * a[1]
 
     new_size = tuple(int(v) for v in (b_r - t_l))
+    new_aabb_t = tuple(tuple(float(v) for v in row) for row in correct)
+    gate = meta.vel_gate
+    if gate.mode == "sur" and gate.world:
+        # normalized coords change with the aabb: re-normalize the WORLD sur
+        # box so the gate keeps covering the same physical region (the
+        # reference's bounds go stale here, but it never shrinks sur scenes —
+        # see VelGate docstring)
+        sur = np.asarray(gate.world, dtype=np.float64)
+        nb = (sur - correct[0]) * 2.0 / (correct[1] - correct[0]) - 1.0
+        gate = gate._replace(bounds=(tuple(nb[0].tolist()), tuple(nb[1].tolist())))
     new_meta = replace(
         meta,
         grid_size=new_size,
-        aabb=tuple(tuple(float(v) for v in row) for row in correct),
+        aabb=new_aabb_t,
+        vel_gate=gate,
     )
     return new_params, new_meta
 

@@ -32,11 +32,19 @@ _HIDDEN = 128  # reference width (models/velocity_field.py:60-61)
 
 class VelGate(NamedTuple):
     """Static gate spec: 'aabb' zeroes velocity within ``eps`` of the [-1,1]^3
-    boundary; 'sur' zeroes it outside a normalized surround box."""
+    boundary; 'sur' zeroes it outside a normalized surround box.
+
+    ``world`` carries the sur box in WORLD coordinates so ``bounds`` can be
+    re-normalized when the scene aabb changes (kplane.shrink at an alpha-mask
+    event).  The reference computes bounds once from the INITIAL aabb
+    (models/velocity_field.py:44) and never exercises shrink on sur scenes
+    (config/InDoorSeg/*: update_AlphaMask_list []), so its stale-bounds case
+    is latent; our sur-family throughput mode does shrink, hence the fix."""
 
     mode: str  # 'aabb' | 'sur'
     eps: float = 0.03
     bounds: tuple = ()  # ((xmin,ymin,zmin),(xmax,ymax,zmax)) in normalized coords
+    world: tuple = ()  # same box in world coords ('sur' mode; () for 'aabb')
 
 
 def init_velocity_params(key, hidden: int = _HIDDEN):

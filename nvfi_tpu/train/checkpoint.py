@@ -70,14 +70,19 @@ def _unflatten(flat: dict):
 def meta_to_json(meta: KPlaneMeta) -> dict:
     d = dataclasses.asdict(meta)
     d["vel_gate"] = {"mode": meta.vel_gate.mode, "eps": meta.vel_gate.eps,
-                     "bounds": meta.vel_gate.bounds}
+                     "bounds": meta.vel_gate.bounds, "world": meta.vel_gate.world}
     return d
 
 
 def meta_from_json(d: dict) -> KPlaneMeta:
     d = dict(d)
     g = d.pop("vel_gate")
-    gate = VelGate(g["mode"], g["eps"], tuple(tuple(b) for b in g["bounds"]) if g["bounds"] else ())
+    gate = VelGate(
+        g["mode"], g["eps"],
+        tuple(tuple(b) for b in g["bounds"]) if g["bounds"] else (),
+        # pre-round-5 checkpoints carry no world box; () keeps shrink inert
+        tuple(tuple(b) for b in g.get("world", ())) if g.get("world") else (),
+    )
 
     def tupleize(x):
         if isinstance(x, list):

@@ -361,6 +361,25 @@ def make_loss_fn(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str, H: int, W: int
             loss = loss + hp.vel_reg_weight * pde_scale * pde
             metrics["vel_pde"] = pde
 
+        if meta.use_vel and mode in ("static_dynamic", "dynamic", "vel"):
+            # live velocity-health probe (round-5 diagnosis: the r4c
+            # chessboard run trained to psnr_t 36 with a velocity field
+            # indistinguishable from init — this surfaces a dead field
+            # DURING training instead of at eval).  Mean gated |v| in
+            # normalized units over uniform (x, t); the analytic scenes have
+            # mover speeds ~0.9 normalized, so a healthy field reads O(0.1+),
+            # a dead one ~0.
+            kv1, kv2 = jax.random.split(keys[3])
+            vx = jax.random.uniform(kv1, (2048, 3), minval=-1.0, maxval=1.0)
+            vt = jax.random.uniform(kv2, (2048, 1))
+            from ..fields import velocity as _vel_mod
+
+            vmag = jnp.linalg.norm(
+                _vel_mod.gated_velocity(params["vel"], meta.vel_gate, vx, vt),
+                axis=-1,
+            )
+            metrics["vel_mag"] = jax.lax.stop_gradient(jnp.mean(vmag))
+
         metrics["loss"] = loss
         return loss, metrics
 

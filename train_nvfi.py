@@ -185,9 +185,10 @@ def main():
         metrics_f = open(metrics_path, "a")
 
         def log(m):
+            vm = f" |v|={m['vel_mag']:.4f}" if "vel_mag" in m else ""
             print(
                 f"[train] it={m['it']} loss={m['loss']:.5f} "
-                f"psnr0={m['psnr_0']:.2f} psnr_t={m['psnr_t']:.2f} "
+                f"psnr0={m['psnr_0']:.2f} psnr_t={m['psnr_t']:.2f}{vm} "
                 f"({m['elapsed']:.0f}s)", flush=True,
             )
             import json
