@@ -108,7 +108,14 @@ class KPlaneMeta:
     # samples wasted before the box; the same n_samples covers the chord
     # more densely).  Enable for bit-faithful parity runs.  Pinned by
     # tests/test_sampling.py::test_ray_start_semantics.
-    shade_fraction: float = 0.25  # static top-K shading budget as a fraction
+    # static top-K shading budget as a fraction of samples per ray.  1.0 =
+    # EXACT dense shading — the round-5 default policy: shade truncation is a
+    # measured quality risk on uncertified scenes (the 0.125 cap failed its
+    # 30k from-scratch certification, and the r4c chessboard run truncated
+    # 247k samples/step early under the old 0.25 default — BASELINE.md), so
+    # a sub-1.0 cap is an explicit per-config opt-in carried only by configs
+    # with from-scratch quality evidence (configs/synth/bat.yaml).
+    shade_fraction: float = 1.0
     # of N*S samples; <=0 or >=1 shades densely.  With the reference's
     # rayMarch_weight_thres=1e-4 far fewer than 25% of samples pass the mask,
     # so the selection reproduces the reference's app_mask compaction exactly
@@ -311,7 +318,9 @@ def meta_from_cfg(nvfi_cfg, aabb, grid_size, near_far) -> KPlaneMeta:
         ),
         parity_sampling=bool(nvfi_cfg.get("parity_sampling", False)),
         block_budget=float(nvfi_cfg.get("block_budget", 1.0)),
-        shade_fraction=float(nvfi_cfg.get("shade_fraction", 0.25)),
+        # exact-by-default: a truncating shade cap must be opted into by the
+        # config (see the KPlaneMeta field note)
+        shade_fraction=float(nvfi_cfg.get("shade_fraction", 1.0)),
         sample_block=int(nvfi_cfg.get("sample_block", 64)),
         shade_reuse=bool(nvfi_cfg.get("shade_reuse", True)),
         gather_fuse=bool(nvfi_cfg.get("gather_fuse", False)),

@@ -1,0 +1,116 @@
+"""Round-5 regression tests.
+
+1. Exact-by-default shading policy (VERDICT r4 item 3): a config that does
+   not opt into a shade cap gets shade_fraction 1.0 (no truncation); only the
+   quality-certified bat config carries the 0.25 cap.
+2. Sur-gate world box: kplane.shrink re-normalizes the gate bounds against
+   the new aabb (the reference computes bounds once from the initial aabb,
+   models/velocity_field.py:44, and never shrinks sur scenes — our sur-family
+   throughput mode does).
+3. Checkpoint meta roundtrips the world box (with pre-round-5 compat).
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from nvfi_tpu.config import load_config
+from nvfi_tpu.fields import kplane
+from nvfi_tpu.fields.velocity import VelGate
+from nvfi_tpu.train import checkpoint as ck
+
+
+def _sur_meta(aabb=((-2.02,) * 3, (2.02,) * 3), sur=1.6):
+    cfg = {
+        "sur_x": [-sur, sur], "sur_y": [-sur, sur], "sur_z": [-sur, sur],
+        "num_keyframes": 4, "tmax": 0.75,
+        "density_n_comp": [8], "appearance_n_comp": [8], "app_dim": 8,
+        "density_shift": -10.0, "distance_scale": 25.0,
+        "alphaMask_thres": 1e-4, "rayMarch_weight_thres": 1e-4,
+        "fea2denseAct": "softplus", "densityMode": "Density",
+        "shadingMode": "MLP_PE", "pos_pe": 6, "view_pe": 6, "fea_pe": 6,
+        "featureC": 32, "step_ratio": 0.5, "max_n_samples": 96,
+        "use_vel": True,
+    }
+    from nvfi_tpu.config import CfgNode
+
+    return kplane.meta_from_cfg(CfgNode(cfg), np.asarray(aabb), (16, 16, 16),
+                                (2.0, 6.0))
+
+
+def test_shade_exact_by_default():
+    """Configs without an explicit shade cap run EXACT shading (1.0): the
+    truncating 0.25 cap is per-config opt-in carried only by configs with
+    from-scratch quality certification."""
+    meta = _sur_meta()  # no shade_fraction key in the cfg
+    assert meta.shade_fraction == 1.0
+    # dataclass default agrees (meta built directly, e.g. in tests/benches)
+    assert kplane.KPlaneMeta(
+        grid_size=(8,) * 3, num_keyframes=2, tmax=0.75,
+        aabb=((-2.0,) * 3, (2.0,) * 3), near_far=(2.0, 6.0),
+        density_n_comp=4, app_n_comp=4, app_dim=4,
+        density_shift=-10.0, distance_scale=25.0,
+        alpha_mask_thres=1e-4, raymarch_weight_thres=1e-4,
+    ).shade_fraction == 1.0
+
+
+def test_certified_bat_config_opts_into_the_cap():
+    cfg = load_config("configs/synth/bat.yaml")
+    assert float(cfg.nvfi.shade_fraction) == 0.25
+    # the sur-family scene config does NOT opt in -> exact
+    chess = load_config("configs/synth/chessboard.yaml")
+    assert "shade_fraction" not in chess.nvfi
+
+
+def test_sur_gate_carries_world_box():
+    meta = _sur_meta()
+    g = meta.vel_gate
+    assert g.mode == "sur" and g.world == ((-1.6,) * 3, (1.6,) * 3)
+    np.testing.assert_allclose(
+        np.asarray(g.bounds), [[-1.6 / 2.02] * 3, [1.6 / 2.02] * 3], rtol=1e-12
+    )
+
+
+def test_shrink_renormalizes_sur_bounds():
+    meta = _sur_meta()
+    params = kplane.init_params(jax.random.PRNGKey(0), meta)
+    new_aabb = np.array([[-1.9] * 3, [1.8] * 3])
+    p2, m2 = kplane.shrink(params, meta, new_aabb)
+    a = np.asarray(m2.aabb)  # post voxel-snap
+    expect = (np.array([[-1.6] * 3, [1.6] * 3]) - a[0]) * 2.0 / (a[1] - a[0]) - 1.0
+    np.testing.assert_allclose(np.asarray(m2.vel_gate.bounds), expect,
+                               atol=1e-12)
+    # the world box itself is invariant
+    assert m2.vel_gate.world == meta.vel_gate.world
+    # the gated region covers the same PHYSICAL points before and after
+    from nvfi_tpu.fields import velocity as vel_mod
+
+    pts_world = np.array([[0.0, 0.0, 0.0], [1.55, 0.0, 0.0], [1.7, 0.0, 0.0]],
+                         np.float32)
+    for m, p in ((meta, params), (m2, p2)):
+        xyz = jax.numpy.asarray(kplane.normalize_coord(m, pts_world))
+        t = jax.numpy.zeros((3, 1))
+        v = np.asarray(vel_mod.gated_velocity(p["vel"], m.vel_gate, xyz, t))
+        assert np.any(v[0] != 0) and np.any(v[1] != 0), m.vel_gate
+        np.testing.assert_array_equal(v[2], 0.0)  # outside sur: gated
+
+
+def test_checkpoint_roundtrips_gate_world(tmp_path):
+    meta = _sur_meta()
+    params = kplane.init_params(jax.random.PRNGKey(0), meta)
+    ck.save(str(tmp_path / "m"), params, meta, extra={})
+    _, m2, _, _, _ = ck.load(str(tmp_path / "m"))
+    assert m2.vel_gate == meta.vel_gate
+    # pre-round-5 sidecar (no 'world' key) still loads, with an inert gate
+    import json
+
+    with open(tmp_path / "m.json") as f:
+        sidecar = json.load(f)
+    del sidecar["meta"]["vel_gate"]["world"]
+    with open(tmp_path / "m2.json", "w") as f:
+        json.dump(sidecar, f)
+    import shutil
+
+    shutil.copy(tmp_path / "m.npz", tmp_path / "m2.npz")
+    _, m3, _, _, _ = ck.load(str(tmp_path / "m2"))
+    assert m3.vel_gate.world == () and m3.vel_gate.bounds == meta.vel_gate.bounds

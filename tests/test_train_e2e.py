@@ -319,7 +319,8 @@ def test_turbo_reprobe_caps_shade_at_config(tiny_scene):
     from dataclasses import replace
     from nvfi_tpu.train.trainer import Trainer
 
-    cfg = small_cfg(**{"nvfi.turbo": True})
+    # the 0.25 cap is an explicit opt-in since round 5 (exact by default)
+    cfg = small_cfg(**{"nvfi.turbo": True, "nvfi.shade_fraction": 0.25})
     tr = Trainer(cfg, tiny_scene, mode="static_dynamic")
     # before the first alpha event turbo runs dense (budgets un-probed)
     assert tr.meta.block_budget == 1.0
