@@ -39,8 +39,11 @@ def ray_bundle(pose: np.ndarray, H: int, W: int, focal: float, ndc: bool = False
 
 
 def ndc_rays(H: int, W: int, focal: float, near: float,
-             rays_o: np.ndarray, rays_d: np.ndarray):
-    """Shift to the near plane and project into NDC (reference camera.py:140-157)."""
+             rays_o, rays_d, xp=np):
+    """Shift to the near plane and project into NDC (reference camera.py:140-157).
+
+    ``xp``: array namespace — np for host-side bundles, jax.numpy when called
+    inside the jitted training step (trainer ray generation is in-jit)."""
     t = -(near + rays_o[..., 2]) / rays_d[..., 2]
     rays_o = rays_o + t[..., None] * rays_d
 
@@ -54,7 +57,7 @@ def ndc_rays(H: int, W: int, focal: float, near: float,
         rays_d[..., 1] / rays_d[..., 2] - rays_o[..., 1] / rays_o[..., 2]
     )
     d2 = -2.0 * near / rays_o[..., 2]
-    return np.stack([o0, o1, o2], -1), np.stack([d0, d1, d2], -1)
+    return xp.stack([o0, o1, o2], -1), xp.stack([d0, d1, d2], -1)
 
 
 def sample_pixels(rng: np.random.Generator, H: int, W: int, n: int):

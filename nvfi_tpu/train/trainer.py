@@ -102,6 +102,14 @@ class TrainHP:
     multi_frame: bool = False  # sample each ray from a random frame instead of
     # one camera per step (the reference's latent BatchedRays idea,
     # models/camera.py:7-31); decorrelates batches — off by default for parity
+    ndc: bool = False  # renderer.ndc: project training rays into NDC before
+    # sampling (reference camera.py:135-157 + tensorf sample_ray_ndc).  The
+    # projection near plane is ``ndc_near`` (NeRF-standard 1.0) — the
+    # reference reuses cfg.dataset.near for BOTH the projection plane and the
+    # sampling range, which only coheres when near is the physical plane and
+    # the sampling range covers NDC depth; it ships no NDC config, so the
+    # split knob documents the working protocol.
+    ndc_near: float = 1.0
     save_every: int = 5000
     print_every: int = 500
     validate_every: int = 1000
@@ -143,6 +151,8 @@ class TrainHP:
             num_keyframes_end=int(cfg.nvfi.num_keyframes_end),
             white_bg=bool(cfg.dataset.white_background),
             multi_frame=bool(e.get("multi_frame_batch", False)),
+            ndc=bool(cfg.renderer.get("ndc", False)),
+            ndc_near=float(cfg.renderer.get("ndc_near", 1.0)),
             save_every=int(e.save_every),
             print_every=int(e.print_every),
             validate_every=int(e.validate_every),
@@ -207,11 +217,18 @@ def make_loss_fn(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str, H: int, W: int
         ray_chunk -= 1
     n_chunks = n_rays // ray_chunk
 
+    def _maybe_ndc(ray_o, ray_d):
+        if meta.ray_sampling != "ndc":
+            return ray_o, ray_d
+        from ..render.rays import ndc_rays
+
+        return ndc_rays(H, W, focal, hp.ndc_near, ray_o, ray_d, xp=jnp)
+
     def render_batch(params, key, pose, image, t, alpha_state, advect=True):
         k_pix, k_render = jax.random.split(key)
         pix = jax.random.choice(k_pix, H * W, (n_rays,), replace=False)
         ii, jj = pix // W, pix % W
-        ray_o, ray_d = _rays_from_pose(pose, H, W, focal, ii, jj)
+        ray_o, ray_d = _maybe_ndc(*_rays_from_pose(pose, H, W, focal, ii, jj))
         ray_o, ray_d = constrain(ray_o), constrain(ray_d)
         target = constrain(image[ii, jj])
         return _chunked_mse(params, ray_o, ray_d, target, t, k_render, advect, alpha_state)
@@ -228,6 +245,7 @@ def make_loss_fn(meta: kplane.KPlaneMeta, hp: TrainHP, mode: str, H: int, W: int
         dirs = jnp.stack([x, y, -jnp.ones_like(x)], axis=-1)
         ray_d = jnp.einsum("nj,nij->ni", dirs, pose[:, :3, :3])
         ray_o = pose[:, :3, 3]
+        ray_o, ray_d = _maybe_ndc(ray_o, ray_d)
         ray_o, ray_d = constrain(ray_o), constrain(ray_d)
         target = constrain(images[f, ii, jj])
         tvec = times[f]
@@ -569,6 +587,13 @@ class Trainer:
         res0 = n_to_reso(self.hp.n_voxel_init, aabb)
         near_far = (float(cfg.dataset.near), float(cfg.dataset.far))
         self.meta = kplane.meta_from_cfg(cfg.nvfi, aabb, res0, near_far)
+        if self.hp.ndc:
+            # renderer.ndc: rays are NDC-projected (make_loss_fn) and samples
+            # drawn linearly over near_far in NDC depth (kplane.sample_ray_ndc)
+            assert self.meta.ray_sampling == "box", (
+                "renderer.ndc and nvfi.contract_ray are mutually exclusive"
+            )
+            self.meta = _dc_replace(self.meta, ray_sampling="ndc")
         # turbo: opt-in TPU throughput mode (nvfi.turbo: true).  Training runs
         # the dense parity path until the FIRST alpha-mask stage event, then
         # engages occupancy-pruned sampling + the block-sparse sample axis

@@ -10,6 +10,8 @@
 3. Checkpoint meta roundtrips the world box (with pre-round-5 compat).
 """
 
+import os
+
 import numpy as np
 import jax
 import pytest
@@ -93,6 +95,107 @@ def test_shrink_renormalizes_sur_bounds():
         v = np.asarray(vel_mod.gated_velocity(p["vel"], m.vel_gate, xyz, t))
         assert np.any(v[0] != 0) and np.any(v[1] != 0), m.vel_gate
         np.testing.assert_array_equal(v[2], 0.0)  # outside sur: gated
+
+
+def _save_png(path, rgb):
+    from PIL import Image
+
+    Image.fromarray((np.clip(rgb, 0, 1) * 255).astype(np.uint8)).save(path)
+
+
+def test_multicam_loader_trains_e2e(tmp_path):
+    """End-to-end training through load_blender_data_dynamic (multi-camera
+    rig layout, reference datasets/load_blender_dynamic.py:71-173): write a
+    tiny rig dataset to disk, load it with the dynamic loader, and train —
+    PSNR must rise (VERDICT r4 missing item 5: the loader was unit-tested
+    but never driven)."""
+    import json
+
+    from nvfi_tpu.data.blender import load_blender_data_dynamic, _spherical_pose
+    from nvfi_tpu.data.synthetic import default_objects, render_frame
+    from nvfi_tpu.train.trainer import Trainer
+    from tests.test_train_e2e import small_cfg
+
+    H = W = 32
+    focal = 0.5 * W / np.tan(0.5 * 0.6911112)
+    objects = default_objects()
+    cam_thetas = (-60.0, 30.0, 120.0)
+    times = (0.0, 0.15, 0.35, 0.6, 0.75)
+    for split, skip in (("train", 1), ("val", 5), ("test", 5)):
+        data = []
+        os.makedirs(tmp_path / split, exist_ok=True)
+        for ci, th in enumerate(cam_thetas):
+            pose = _spherical_pose(th, -30.0, 4.0)
+            frames = []
+            for ti, t in enumerate(times[::skip]):
+                rel = f"{split}/c{ci}_t{ti}"
+                rgb, _ = render_frame(objects, pose, H, W, focal, t)
+                _save_png(str(tmp_path / (rel + ".png")), rgb)
+                frames.append({"file_path": rel, "time": float(t)})
+            data.append({"transform_matrix": np.asarray(pose).tolist(),
+                         "frames": frames})
+        with open(tmp_path / f"transforms_{split}.json", "w") as f:
+            json.dump({"camera_angle_x": 0.6911112, "data": data}, f)
+
+    dataset = load_blender_data_dynamic(str(tmp_path))
+    assert dataset[3]["train"] == len(cam_thetas) * len(times)
+    cfg = small_cfg(**{"renderer.n_rays": 128, "experiment.vel_reg_n_pts": 128,
+                       "nvfi.max_n_samples": 32})
+    tr = Trainer(cfg, dataset, mode="static_dynamic")
+    logs = []
+    tr.train(iters=160, log_fn=logs.append)
+    first, last = logs[0]["psnr_0"], logs[-1]["psnr_0"]
+    assert last > first + 3, f"PSNR did not improve: {first} -> {last}"
+    assert np.isfinite(logs[-1]["loss"])
+
+
+def test_ndc_training_e2e():
+    """End-to-end training with renderer.ndc (NDC ray projection +
+    sample_ray_ndc linear-depth sampling — reference camera.py:135-157 /
+    tensorf_base.py:270-282, a latent path there: no shipped config enables
+    it).  Forward-facing rig, model box = NDC cube, loss must fall."""
+    from nvfi_tpu.data.synthetic import RigidSphere, render_frame
+    from nvfi_tpu.train.trainer import Trainer
+    from tests.test_train_e2e import small_cfg
+
+    H = W = 32
+    focal = 0.5 * W / np.tan(0.5 * 0.6911112)
+    objects = [
+        RigidSphere(center=(0.0, 0.0, -3.5), radius=0.8, color=(0.9, 0.3, 0.2),
+                    v_lin=(0.5, 0.0, 0.0)),
+        RigidSphere(center=(1.0, 0.5, -4.5), radius=0.7, color=(0.2, 0.5, 0.9)),
+    ]
+    times = (0.0, 0.25, 0.5, 0.75)
+    offsets = (-0.3, 0.0, 0.3)
+    imgs, poses, tlist = [], [], []
+    for dx in offsets:
+        pose = np.eye(4, dtype=np.float32)
+        pose[0, 3] = dx
+        for t in times:
+            rgb, _ = render_frame(objects, pose, H, W, focal, t)
+            imgs.append(rgb)
+            poses.append(pose)
+            tlist.append(float(t))
+    split = {"train": np.stack(imgs)}
+    dataset = ({"train": np.stack(imgs)}, {"train": poses}, {"train": tlist},
+               {"train": len(imgs)}, None, None, (H, W, focal))
+
+    cfg = small_cfg(**{
+        "renderer.n_rays": 128, "renderer.ndc": True,
+        "experiment.vel_reg_n_pts": 128,
+        # model lives in the NDC cube; samples linear over NDC depth [0, 1]
+        "nvfi.bbox_x": [-1, 1], "nvfi.bbox_y": [-1, 1], "nvfi.bbox_z": [-1, 1],
+        "dataset.near": 0.0, "dataset.far": 1.0,
+        "nvfi.max_n_samples": 48, "nvfi.num_keyframes": 2,
+        "nvfi.num_keyframes_end": 2,
+    })
+    tr = Trainer(cfg, dataset, mode="static_dynamic")
+    assert tr.meta.ray_sampling == "ndc"
+    logs = []
+    tr.train(iters=80, log_fn=logs.append)
+    first, last = logs[0]["psnr_0"], logs[-1]["psnr_0"]
+    assert last > first + 3, f"NDC PSNR did not improve: {first} -> {last}"
+    assert np.isfinite(logs[-1]["loss"])
 
 
 def test_checkpoint_roundtrips_gate_world(tmp_path):
