@@ -120,8 +120,26 @@ def chessboard_objects():
     ]
 
 
+def carousel_objects():
+    """Second InDoorSeg-family stand-in (sur-gated, black bg, K=4): a
+    two-sphere platter rotating the OPPOSITE way from the chessboard's
+    orbiter plus a slow riser, a static hub, and a static wall outside the
+    surround box.  Exists so the cross-scene motion-transfer leg can run
+    donor->host WITHIN the sur family (VERDICT r4 item 1's transfer
+    requirement), with motion visibly distinct from the chessboard host."""
+    return [
+        RigidSphere(center=(1.0, 0.0, 0.2), radius=0.34, color=(0.85, 0.75, 0.3),
+                    omega=(0, 0, -1.8), pivot=(0, 0, 0.2)),
+        RigidSphere(center=(-0.7, 0.7, -0.3), radius=0.3, color=(0.35, 0.8, 0.85),
+                    omega=(0, 0, -1.8), pivot=(0, 0, -0.3), v_lin=(0, 0, 0.5)),
+        RigidSphere(center=(0.0, 0.0, 0.0), radius=0.32, color=(0.8, 0.35, 0.6)),
+        RigidSphere(center=(1.85, 0.0, 0.6), radius=0.16, color=(0.4, 0.55, 0.4)),
+    ]
+
+
 SCENE_OBJECTS = {"bat": default_objects, "fan": fan_objects,
-                 "chessboard": chessboard_objects}
+                 "chessboard": chessboard_objects,
+                 "carousel": carousel_objects}
 
 
 def render_frame(objects, pose, H, W, focal, t, white_background=True, light=(0.5, 0.5, 1.0)):
