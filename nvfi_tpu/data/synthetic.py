@@ -39,15 +39,27 @@ def _rot_axis(axis: np.ndarray, angle: float) -> np.ndarray:
 class RigidSphere:
     """A sphere with center c0, radius r, color, and rigid motion:
     rotation with angular velocity ``omega`` (rad/s vector) about ``pivot``
-    plus linear velocity ``v_lin``."""
+    plus linear velocity ``v_lin``.
 
-    def __init__(self, center, radius, color, omega=(0, 0, 0), pivot=(0, 0, 0), v_lin=(0, 0, 0)):
+    ``hollow=True`` makes it a thin SHELL rendered from inside (an enclosing
+    room): ray-tracing takes the far intersection when the camera is interior,
+    and only the shell band counts as material for velocity/occupancy queries.
+    ``tex_freq > 0`` modulates the albedo with a smooth world-space sinusoid
+    (texture gives multi-view photometric parallax a gradient to lock onto —
+    a textureless Lambertian wall is geometrically under-constrained)."""
+
+    SHELL = 0.08  # hollow material band, world units
+
+    def __init__(self, center, radius, color, omega=(0, 0, 0), pivot=(0, 0, 0),
+                 v_lin=(0, 0, 0), hollow=False, tex_freq=0.0):
         self.c0 = np.asarray(center, np.float32)
         self.r = float(radius)
         self.color = np.asarray(color, np.float32)
         self.omega = np.asarray(omega, np.float32)
         self.pivot = np.asarray(pivot, np.float32)
         self.v_lin = np.asarray(v_lin, np.float32)
+        self.hollow = bool(hollow)
+        self.tex_freq = float(tex_freq)
 
     def center(self, t: float) -> np.ndarray:
         w = np.linalg.norm(self.omega)
@@ -61,6 +73,14 @@ class RigidSphere:
         """Exact rigid velocity at points x (..., 3) at time t."""
         piv = self.pivot + self.v_lin * t
         return np.cross(np.broadcast_to(self.omega, x.shape), x - piv) + self.v_lin
+
+    def contains(self, x: np.ndarray, t: float) -> np.ndarray:
+        """Material-occupancy mask at points x (..., 3): the full ball for
+        solid spheres, only the shell band for hollow ones."""
+        d = np.linalg.norm(x - self.center(t), axis=-1)
+        if self.hollow:
+            return np.abs(d - self.r) <= self.SHELL
+        return d <= self.r
 
 
 def default_objects():
@@ -101,10 +121,19 @@ def chessboard_objects():
     """An InDoorSeg-style stand-in for the 'sur'-gated scene family
     (config/InDoorSeg/chessboard.yaml: black bg, K=4, VelocityAABBSur with
     sur_x/y/z = +-1.6 inside bbox +-2.02): moving 'pieces' that stay INSIDE
-    the surround box, a static piece inside it, and a static 'wall' sphere
+    the surround box, a static piece inside it, a static 'wall' sphere
     OUTSIDE the surround box — the gate must hold its velocity at exactly
-    zero (reference models/velocity_field.py:36-51), so the scene exercises
-    both sides of the gating boundary."""
+    zero (reference models/velocity_field.py:36-51) — and an enclosing ROOM
+    shell observed from inside.
+
+    The room is what makes the stand-in representative: the reference's
+    InDoorSeg scenes are closed rooms where every ray terminates on geometry
+    (datasets/load_blender_dynamic.py renders 4 in-room cameras; the black
+    background is never actually visible).  Round-5 diagnosis
+    (scripts/chess_fog_probe.py) showed the previous open-space black-bg
+    variant is photometrically ambiguous — 89% of the learned alpha mass was
+    ghost fog outside the GT objects, novel views collapsed to ~18 dB, and
+    the velocity field was gradient-starved no matter the training knobs."""
     return [
         # piece orbiting the board center, radius 0.9 < sur 1.6 - size
         RigidSphere(center=(0.9, 0.0, 0.0), radius=0.35, color=(0.9, 0.8, 0.75),
@@ -114,9 +143,13 @@ def chessboard_objects():
                     color=(0.15, 0.15, 0.2), v_lin=(1.2, 1.2, 0.5)),
         # static piece inside the surround box
         RigidSphere(center=(0.0, 0.9, 0.55), radius=0.35, color=(0.75, 0.2, 0.2)),
-        # static 'wall' OUTSIDE the surround box (|y| > 1.6): sur-gated
+        # static 'wall' bump OUTSIDE the surround box (|y| > 1.6): sur-gated
         # velocity is identically zero here
         RigidSphere(center=(0.0, -1.85, 0.0), radius=0.16, color=(0.3, 0.6, 0.35)),
+        # the room: hollow textured shell between sur (1.6) and bbox (2.02),
+        # static geometry outside the gate, seen from interior cameras
+        RigidSphere(center=(0.0, 0.0, 0.0), radius=1.9, color=(0.58, 0.55, 0.5),
+                    hollow=True, tex_freq=2.5),
     ]
 
 
@@ -134,12 +167,26 @@ def carousel_objects():
                     omega=(0, 0, -1.8), pivot=(0, 0, -0.3), v_lin=(0, 0, 0.5)),
         RigidSphere(center=(0.0, 0.0, 0.0), radius=0.32, color=(0.8, 0.35, 0.6)),
         RigidSphere(center=(1.85, 0.0, 0.6), radius=0.16, color=(0.4, 0.55, 0.4)),
+        # same room shell as the chessboard host (see chessboard_objects)
+        RigidSphere(center=(0.0, 0.0, 0.0), radius=1.9, color=(0.55, 0.57, 0.52),
+                    hollow=True, tex_freq=2.0),
     ]
 
 
 SCENE_OBJECTS = {"bat": default_objects, "fan": fan_objects,
                  "chessboard": chessboard_objects,
                  "carousel": carousel_objects}
+
+# Per-scene camera presets (applied when make_synthetic_scene is given a
+# scene NAME).  The sur-gated indoor scenes put the cameras INSIDE the room
+# (between the movers at <=1.25 and the shell at 1.9) with a wide indoor
+# field of view, like the reference's in-room corner cameras
+# (/root/reference/datasets/load_blender_dynamic.py:71-173); the open scenes
+# keep the original outside-in orbit (radius 4, blender default fov).
+SCENE_CAMERA = {
+    "chessboard": {"radius": 1.6, "fov": 1.25},
+    "carousel": {"radius": 1.6, "fov": 1.25},
+}
 
 
 def render_frame(objects, pose, H, W, focal, t, white_background=True, light=(0.5, 0.5, 1.0)):
@@ -159,13 +206,18 @@ def render_frame(objects, pose, H, W, focal, t, white_background=True, light=(0.
         disc = b * b - (np.sum(oc * oc, axis=-1) - obj.r**2)
         hit = disc > 0
         sq = np.sqrt(np.maximum(disc, 0))
-        t_hit = -b - sq
+        # nearest POSITIVE root: entry point from outside, exit point when the
+        # ray starts inside (a hollow room sphere seen from its interior)
+        t_near, t_far = -b - sq, -b + sq
+        t_hit = np.where(t_near > 1e-3, t_near, t_far)
         hit &= t_hit > 1e-3
         closer = hit & (t_hit < best_t)
         best_t = np.where(closer, t_hit, best_t)
         best_id = np.where(closer, idx + 1, best_id)
         p = o + dn * t_hit[..., None]
         n = (p - c) / obj.r
+        # interior hits shade with the inward-facing normal
+        n = np.where(np.sum(n * dn, axis=-1, keepdims=True) > 0, -n, n)
         best_n = np.where(closer[..., None], n, best_n)
 
     lightv = np.asarray(light, np.float32)
@@ -176,6 +228,15 @@ def render_frame(objects, pose, H, W, focal, t, white_background=True, light=(0.
         [np.zeros((1, 3), np.float32)] + [obj.color[None] for obj in objects]
     )
     rgb = colors[best_id] * shade[..., None]
+    # world-space albedo texture where requested (see RigidSphere.tex_freq)
+    hit_p = o + dn * np.where(np.isfinite(best_t), best_t, 0.0)[..., None]
+    for idx, obj in enumerate(objects):
+        if obj.tex_freq > 0.0:
+            f = obj.tex_freq * np.pi
+            tex = 0.75 + 0.25 * (np.sin(f * hit_p[..., 0])
+                                 * np.sin(f * hit_p[..., 1])
+                                 * np.sin(f * hit_p[..., 2]))
+            rgb = np.where((best_id == idx + 1)[..., None], rgb * tex[..., None], rgb)
     bg = 1.0 if white_background else 0.0
     rgb = np.where((best_id == 0)[..., None], bg, rgb)
     return (
@@ -185,30 +246,38 @@ def render_frame(objects, pose, H, W, focal, t, white_background=True, light=(0.
 
 
 def scene_velocity(objects, x: np.ndarray, t: float) -> np.ndarray:
-    """Exact scene velocity at points inside objects (0 elsewhere)."""
+    """Exact scene velocity at points inside object material (0 elsewhere).
+    Hollow shells only claim their shell band (RigidSphere.contains), so an
+    enclosing room never masks the movers it contains."""
     v = np.zeros_like(x)
     for obj in objects:
-        inside = np.linalg.norm(x - obj.center(t), axis=-1) <= obj.r
-        v = np.where(inside[..., None], obj.velocity(x, t), v)
+        v = np.where(obj.contains(x, t)[..., None], obj.velocity(x, t), v)
     return v
 
 
 def make_synthetic_scene(
     n_train=24, n_val=4, n_test=8, H=64, W=64, n_times=16, tmax_frac=0.75,
-    white_background=True, objects=None, radius=4.0, seed=0,
+    white_background=True, objects=None, radius=None, fov=None, seed=0,
 ):
     """Build an in-memory dataset with the reference loader's return layout.
 
     Train covers t in [0, tmax_frac]; test extends to t=1 (extrapolation split,
     reference config/InDoorObj/bat.yaml:137).  Returns the standard 7-tuple
-    plus a dict of extras (objects, segm masks per split).
+    plus a dict of extras (objects, segm masks per split).  Camera radius and
+    field of view default to the scene's SCENE_CAMERA preset (outside-in
+    orbit at 4.0 / blender fov for open scenes; in-room cameras for the
+    indoor sur-gated scenes).
     """
-    if objects is None:
-        objects = default_objects()
-    elif isinstance(objects, str):
+    cam = {}
+    if isinstance(objects, str):
+        cam = SCENE_CAMERA.get(objects, {})
         objects = SCENE_OBJECTS[objects]()
+    elif objects is None:
+        objects = default_objects()
+    radius = cam.get("radius", 4.0) if radius is None else radius
+    fov = cam.get("fov", 0.6911112) if fov is None else fov  # blender default
     rng = np.random.RandomState(seed)
-    focal = 0.5 * W / np.tan(0.5 * 0.6911112)  # blender's default ~0.69 rad fov
+    focal = 0.5 * W / np.tan(0.5 * fov)
 
     def make_split(n, t_lo, t_hi, phase):
         times = np.linspace(t_lo, t_hi, n).astype(np.float32)

@@ -27,14 +27,20 @@ def velocity_epe(params, meta: kplane.KPlaneMeta, objects, t: float,
     aabb_size/2 before comparison.
     """
     rng = np.random.RandomState(seed)
-    pts = []
-    for obj in objects:
+    pts, obj_id = [], []
+    for oi, obj in enumerate(objects):
         c = obj.center(t)
         d = rng.randn(n_pts // len(objects), 3)
         d /= np.linalg.norm(d, axis=-1, keepdims=True)
-        r = obj.r * rng.rand(len(d), 1) ** (1 / 3)
+        if getattr(obj, "hollow", False):
+            # material lives only on the shell band (an enclosing room)
+            r = obj.r - obj.SHELL * rng.rand(len(d), 1)
+        else:
+            r = obj.r * rng.rand(len(d), 1) ** (1 / 3)
         pts.append(c + d * r)
+        obj_id.append(np.full(len(d), oi))
     pts = np.concatenate(pts).astype(np.float32)
+    obj_id = np.concatenate(obj_id)
 
     v_true = scene_velocity(objects, pts, t)
 
@@ -48,12 +54,21 @@ def velocity_epe(params, meta: kplane.KPlaneMeta, objects, t: float,
 
     epe = np.linalg.norm(v_pred - v_true, axis=-1)
     speed = np.linalg.norm(v_true, axis=-1)
-    return {
+    moving = np.array([np.any(o.omega) or np.any(o.v_lin) for o in objects])
+    mov = moving[obj_id]
+    out = {
         "epe_mean": float(epe.mean()),
         "epe_median": float(np.median(epe)),
         "true_speed_mean": float(speed.mean()),
         "relative_epe": float(epe.mean() / max(speed.mean(), 1e-9)),
+        # split over moving vs static material: the headline relative_epe
+        # dilutes as static geometry (room/walls) is added to a scene
+        "epe_moving": float(epe[mov].mean()) if mov.any() else 0.0,
+        "rel_epe_moving": float(epe[mov].mean() / max(speed[mov].mean(), 1e-9))
+        if mov.any() else 0.0,
+        "epe_static": float(epe[~mov].mean()) if (~mov).any() else 0.0,
     }
+    return out
 
 
 def advection_error(params, meta: kplane.KPlaneMeta, objects, t0: float, t1: float,
@@ -65,7 +80,10 @@ def advection_error(params, meta: kplane.KPlaneMeta, objects, t0: float, t1: flo
     for obj in objects:
         d = rng.randn(n_pts // len(objects), 3)
         d /= np.linalg.norm(d, axis=-1, keepdims=True)
-        r = obj.r * 0.8 * rng.rand(len(d), 1) ** (1 / 3)
+        if getattr(obj, "hollow", False):
+            r = obj.r - obj.SHELL * rng.rand(len(d), 1)
+        else:
+            r = obj.r * 0.8 * rng.rand(len(d), 1) ** (1 / 3)
         local = d * r
         c0, c1 = obj.center(t0), obj.center(t1)
         # rigid: the offset rotates with the object

@@ -217,3 +217,60 @@ def test_checkpoint_roundtrips_gate_world(tmp_path):
     shutil.copy(tmp_path / "m.npz", tmp_path / "m2.npz")
     _, m3, _, _, _ = ck.load(str(tmp_path / "m2"))
     assert m3.vel_gate.world == () and m3.vel_gate.bounds == meta.vel_gate.bounds
+
+
+# ---------------------------------------------------------------------------
+# Indoor room stand-in for the sur-gated family (round-5 fog fix)
+# ---------------------------------------------------------------------------
+
+def test_indoor_scenes_have_full_ray_coverage():
+    """The sur-gated family stand-ins are closed rooms observed from inside
+    (reference datasets/load_blender_dynamic.py: in-room cameras, the black
+    background is never visible).  Round-5 diagnosis showed the previous
+    open-space black-bg variant lets 89% of the alpha mass collapse into
+    ghost fog (scripts/chess_fog_probe.py) — every ray must terminate on
+    geometry, so GT coverage must be 100% in every split."""
+    from nvfi_tpu.data.synthetic import make_synthetic_scene
+
+    for name in ("chessboard", "carousel"):
+        d = make_synthetic_scene(n_train=3, n_val=1, n_test=2, H=24, W=24,
+                                 objects=name, white_background=False)
+        segm = d[7]["segm"]
+        for split in ("train", "test"):
+            assert (segm[split] > 0).all(), (name, split)
+
+
+def test_hollow_room_does_not_mask_mover_velocity():
+    """scene_velocity treats a hollow shell as material ONLY on its band:
+    the enclosing room must never zero out the velocity of the movers it
+    contains, while shell points themselves are static GT."""
+    from nvfi_tpu.data.synthetic import chessboard_objects, scene_velocity
+
+    objs = chessboard_objects()
+    assert any(o.hollow for o in objs)
+    pts = np.array([[0.9, 0.0, 0.0],    # orbiter center: moving
+                    [0.0, 0.0, 1.9],    # room shell: static material
+                    [0.0, 0.0, 1.2]],   # air inside the room: empty
+                   np.float32)
+    v = scene_velocity(objs, pts, 0.0)
+    assert np.linalg.norm(v[0]) > 1.0
+    np.testing.assert_array_equal(v[1], 0.0)
+    np.testing.assert_array_equal(v[2], 0.0)
+    room = next(o for o in objs if o.hollow)
+    assert bool(room.contains(pts[1:2], 0.0)[0])
+    assert not bool(room.contains(pts[2:3], 0.0)[0])
+
+
+def test_render_frame_inside_hollow_sphere():
+    """Ray tracing from inside a hollow sphere takes the far root and shades
+    with the inward-facing normal — no pixel escapes to the background."""
+    from nvfi_tpu.data.synthetic import RigidSphere, render_frame
+    from nvfi_tpu.data.blender import _spherical_pose
+
+    room = RigidSphere(center=(0, 0, 0), radius=2.0, color=(0.5, 0.5, 0.5),
+                       hollow=True)
+    pose = _spherical_pose(30.0, -30.0, 1.0)  # camera INSIDE the sphere
+    rgb, segm = render_frame([room], pose, 16, 16, 12.0, 0.0,
+                             white_background=False)
+    assert (segm == 1).all()
+    assert rgb.min() > 0.05  # shaded wall everywhere, never black bg
