@@ -166,7 +166,9 @@ def carousel_objects():
         RigidSphere(center=(-0.7, 0.7, -0.3), radius=0.3, color=(0.35, 0.8, 0.85),
                     omega=(0, 0, -1.8), pivot=(0, 0, -0.3), v_lin=(0, 0, 0.5)),
         RigidSphere(center=(0.0, 0.0, 0.0), radius=0.32, color=(0.8, 0.35, 0.6)),
-        RigidSphere(center=(1.85, 0.0, 0.6), radius=0.16, color=(0.4, 0.55, 0.4)),
+        # static wall bump fully outside the sur box (x-0.16 > 1.6) but poking
+        # through the room shell (|c| = 1.82 < 1.9) so interior cameras see it
+        RigidSphere(center=(1.8, 0.0, 0.3), radius=0.16, color=(0.4, 0.55, 0.4)),
         # same room shell as the chessboard host (see chessboard_objects)
         RigidSphere(center=(0.0, 0.0, 0.0), radius=1.9, color=(0.55, 0.57, 0.52),
                     hollow=True, tex_freq=2.0),
