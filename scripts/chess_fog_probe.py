@@ -69,6 +69,20 @@ def main():
     tot = alpha.sum()
     print(f"alpha mass outside-GT / total = {alpha[~inside].sum() / max(tot, 1e-9):.4f}")
 
+    # For closed-room scenes, split by observability: interior cameras never
+    # see past the room shell, so density beyond it is unconstrained (not
+    # fog).  True ghost fog = alpha outside GT but INSIDE the observable
+    # room volume.
+    rooms = [o for o in objects if getattr(o, "hollow", False)]
+    if rooms:
+        room = rooms[0]
+        observable = np.linalg.norm(xyz - room.c0, axis=-1) <= room.r + room.SHELL
+        fog = observable & ~inside
+        print(f"observable frac={observable.mean():.4f}  "
+              f"fog voxels (observable & outside-GT) alpha>{thr:g}: {occ[fog].mean():.4f}")
+        print(f"alpha mass in observable fog / total = "
+              f"{alpha[fog].sum() / max(tot, 1e-9):.4f}")
+
 
 if __name__ == "__main__":
     main()
