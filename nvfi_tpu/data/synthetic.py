@@ -186,8 +186,8 @@ SCENE_OBJECTS = {"bat": default_objects, "fan": fan_objects,
 # (/root/reference/datasets/load_blender_dynamic.py:71-173); the open scenes
 # keep the original outside-in orbit (radius 4, blender default fov).
 SCENE_CAMERA = {
-    "chessboard": {"radius": 1.6, "fov": 1.25},
-    "carousel": {"radius": 1.6, "fov": 1.25},
+    "chessboard": {"radius": 1.6, "fov": 1.25, "n_cams": 4},
+    "carousel": {"radius": 1.6, "fov": 1.25, "n_cams": 4},
 }
 
 
@@ -296,15 +296,38 @@ def make_synthetic_scene(
 
     # keyframe-aligned training times: include t=0 and hit keyframes exactly
     train_times = np.linspace(0.0, tmax_frac, n_train).astype(np.float32)
-    thetas = rng.uniform(-180, 180, n_train)
+    n_cams = int(cam.get("n_cams", 0))
     imgs, poses, segms = [], [], []
-    for t, th in zip(train_times, thetas):
-        pose = _spherical_pose(float(th), -30.0 + float(rng.uniform(-10, 10)), radius)
-        rgb, segm = render_frame(objects, pose, H, W, focal, float(t), white_background)
-        imgs.append(rgb)
-        poses.append(pose)
-        segms.append(segm)
-    train = (np.stack(imgs), poses, train_times.tolist(), np.stack(segms))
+    if n_cams:
+        # Fixed multi-camera rig (the reference's InDoorSeg capture protocol,
+        # datasets/load_blender_dynamic.py: each camera has ONE pose — meta
+        # ['data'][cam]['transform_matrix'] — and records EVERY timestep).
+        # A monocular moving camera is what the open outside-in scenes use;
+        # at interior-camera coverage it leaves each timestep observed from a
+        # single view, so dynamic geometry is photometrically under-determined
+        # and the velocity PDE has ghosted density to transport (round-5
+        # diagnosis battery, BASELINE.md).
+        cam_thetas = np.linspace(-180.0, 180.0, n_cams, endpoint=False) + 45.0
+        cam_phis = [-35.0, -20.0, -30.0, -25.0]
+        times_l = []
+        for k, th in enumerate(cam_thetas):
+            pose = _spherical_pose(float(th), cam_phis[k % len(cam_phis)], radius)
+            for t in train_times:
+                rgb, segm = render_frame(objects, pose, H, W, focal, float(t), white_background)
+                imgs.append(rgb)
+                poses.append(pose)
+                segms.append(segm)
+                times_l.append(float(t))
+        train = (np.stack(imgs), poses, times_l, np.stack(segms))
+    else:
+        thetas = rng.uniform(-180, 180, n_train)
+        for t, th in zip(train_times, thetas):
+            pose = _spherical_pose(float(th), -30.0 + float(rng.uniform(-10, 10)), radius)
+            rgb, segm = render_frame(objects, pose, H, W, focal, float(t), white_background)
+            imgs.append(rgb)
+            poses.append(pose)
+            segms.append(segm)
+        train = (np.stack(imgs), poses, train_times.tolist(), np.stack(segms))
 
     val = make_split(n_val, 0.0, tmax_frac, 13.0)
     test = make_split(n_test, 0.0, 1.0, 29.0)  # extends beyond tmax: extrapolation

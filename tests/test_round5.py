@@ -274,3 +274,38 @@ def test_render_frame_inside_hollow_sphere():
                              white_background=False)
     assert (segm == 1).all()
     assert rgb.min() > 0.05  # shaded wall everywhere, never black bg
+
+
+def test_indoor_scenes_use_fixed_multicamera_rig():
+    """The sur-gated family trains from a FIXED multi-camera rig: the
+    reference's InDoorSeg loader gives each camera exactly one pose
+    (datasets/load_blender_dynamic.py meta['data'][cam]['transform_matrix'])
+    and a frame at every timestep, so dynamic geometry is multi-view
+    constrained per timestep.  The round-5 diagnosis battery showed the
+    monocular moving-camera split (one random pose per timestep) ghost-fits
+    at interior-camera coverage and starves the velocity PDE regardless of
+    training knobs (BASELINE.md).  Pin: every train timestep is observed
+    from n_cams distinct poses, and each camera's pose is time-invariant."""
+    from nvfi_tpu.data.synthetic import SCENE_CAMERA, make_synthetic_scene
+
+    for name in ("chessboard", "carousel"):
+        n_cams = SCENE_CAMERA[name]["n_cams"]
+        assert n_cams >= 4  # the reference ships 4 in-room cameras
+        d = make_synthetic_scene(n_train=5, n_val=1, n_test=2, H=16, W=16,
+                                 objects=name, white_background=False)
+        poses = np.stack([np.asarray(p) for p in d[1]["train"]])
+        times = np.asarray(d[2]["train"])
+        assert len(times) == 5 * n_cams
+        uniq_poses = np.unique(poses.round(5).reshape(len(poses), -1), axis=0)
+        assert len(uniq_poses) == n_cams
+        for t in np.unique(times):
+            sel = poses[times == t]
+            assert len(sel) == n_cams
+            assert len(np.unique(sel.round(5).reshape(len(sel), -1), axis=0)) == n_cams
+        # init split = all cameras at t=0
+        assert d[3]["init"] == n_cams
+
+    # open scenes keep the monocular orbit (one pose per timestep)
+    d = make_synthetic_scene(n_train=5, n_val=1, n_test=2, H=16, W=16,
+                             objects="bat")
+    assert len(d[2]["train"]) == 5
