@@ -44,14 +44,22 @@ class RigidSphere:
     ``hollow=True`` makes it a thin SHELL rendered from inside (an enclosing
     room): ray-tracing takes the far intersection when the camera is interior,
     and only the shell band counts as material for velocity/occupancy queries.
-    ``tex_freq > 0`` modulates the albedo with a smooth world-space sinusoid
-    (texture gives multi-view photometric parallax a gradient to lock onto —
-    a textureless Lambertian wall is geometrically under-constrained)."""
+    ``tex_freq > 0`` modulates the albedo with a smooth sinusoid evaluated in
+    the object's REST frame (``rest_point``), so the pattern rides the rigid
+    motion exactly like a painted texture — for static geometry this equals
+    the old world-space texture.  Texture matters twice over: it gives
+    multi-view photometric parallax a gradient to lock onto (a textureless
+    Lambertian wall is geometrically under-constrained), and for MOVERS it is
+    what makes the motion photometrically observable in the interior — a
+    uniform-albedo sphere orbiting/sliding only signals motion at its
+    silhouette, which the round-5 diagnosis battery showed is too weak a
+    gradient for the advection path (BASELINE.md).  ``tex_amp`` sets the
+    modulation depth (albedo x [1-2*amp, 1])."""
 
     SHELL = 0.08  # hollow material band, world units
 
     def __init__(self, center, radius, color, omega=(0, 0, 0), pivot=(0, 0, 0),
-                 v_lin=(0, 0, 0), hollow=False, tex_freq=0.0):
+                 v_lin=(0, 0, 0), hollow=False, tex_freq=0.0, tex_amp=0.25):
         self.c0 = np.asarray(center, np.float32)
         self.r = float(radius)
         self.color = np.asarray(color, np.float32)
@@ -60,6 +68,7 @@ class RigidSphere:
         self.v_lin = np.asarray(v_lin, np.float32)
         self.hollow = bool(hollow)
         self.tex_freq = float(tex_freq)
+        self.tex_amp = float(tex_amp)
 
     def center(self, t: float) -> np.ndarray:
         w = np.linalg.norm(self.omega)
@@ -68,6 +77,17 @@ class RigidSphere:
             R = _rot_axis(self.omega / w, w * t)
             return R @ (self.c0 - self.pivot) + piv
         return self.c0 + self.v_lin * t
+
+    def rest_point(self, x: np.ndarray, t: float) -> np.ndarray:
+        """Inverse rigid map: world point at time t -> the same material point
+        at t=0 (the frame textures are painted in).  Inverse of ``center``'s
+        forward map p(t) = R(t) @ (p0 - pivot) + pivot + v_lin*t."""
+        piv = self.pivot + self.v_lin * t
+        w = np.linalg.norm(self.omega)
+        if w > 0:
+            Rinv = _rot_axis(self.omega / w, -w * t)
+            return (x - piv) @ Rinv.T + self.pivot
+        return x - piv + self.pivot
 
     def velocity(self, x: np.ndarray, t: float) -> np.ndarray:
         """Exact rigid velocity at points x (..., 3) at time t."""
@@ -175,9 +195,36 @@ def carousel_objects():
     ]
 
 
+def _texture_movers(objects, tex_freq=5.0, tex_amp=0.45):
+    """Give every solid piece a strong rest-frame texture (the room shell
+    keeps its own).  The reference's InDoorSeg scenes are textured renders of
+    real rooms (chess pieces, dining sets — /root/reference/config/InDoorSeg);
+    the round-5 diagnosis battery showed uniform-albedo movers are the
+    gradient starvation that kept the velocity field at init (BASELINE.md):
+    interior texture makes the between-keyframe advection offset
+    photometrically observable everywhere on the piece, not just at its
+    silhouette."""
+    for obj in objects:
+        if not obj.hollow:
+            obj.tex_freq, obj.tex_amp = tex_freq, tex_amp
+    return objects
+
+
+def chessboard_tex_objects():
+    """Textured variant of the chessboard stand-in (see _texture_movers)."""
+    return _texture_movers(chessboard_objects())
+
+
+def carousel_tex_objects():
+    """Textured variant of the carousel stand-in (transfer donor)."""
+    return _texture_movers(carousel_objects())
+
+
 SCENE_OBJECTS = {"bat": default_objects, "fan": fan_objects,
                  "chessboard": chessboard_objects,
-                 "carousel": carousel_objects}
+                 "carousel": carousel_objects,
+                 "chessboard_tex": chessboard_tex_objects,
+                 "carousel_tex": carousel_tex_objects}
 
 # Per-scene camera presets (applied when make_synthetic_scene is given a
 # scene NAME).  The sur-gated indoor scenes put the cameras INSIDE the room
@@ -188,6 +235,8 @@ SCENE_OBJECTS = {"bat": default_objects, "fan": fan_objects,
 SCENE_CAMERA = {
     "chessboard": {"radius": 1.6, "fov": 1.25, "n_cams": 4},
     "carousel": {"radius": 1.6, "fov": 1.25, "n_cams": 4},
+    "chessboard_tex": {"radius": 1.6, "fov": 1.25, "n_cams": 4},
+    "carousel_tex": {"radius": 1.6, "fov": 1.25, "n_cams": 4},
 }
 
 
@@ -230,14 +279,16 @@ def render_frame(objects, pose, H, W, focal, t, white_background=True, light=(0.
         [np.zeros((1, 3), np.float32)] + [obj.color[None] for obj in objects]
     )
     rgb = colors[best_id] * shade[..., None]
-    # world-space albedo texture where requested (see RigidSphere.tex_freq)
+    # rest-frame albedo texture where requested (see RigidSphere.tex_freq):
+    # the hit point is pulled back through the object's inverse rigid map so
+    # the pattern moves WITH the object (identical to world-space for statics)
     hit_p = o + dn * np.where(np.isfinite(best_t), best_t, 0.0)[..., None]
     for idx, obj in enumerate(objects):
         if obj.tex_freq > 0.0:
             f = obj.tex_freq * np.pi
-            tex = 0.75 + 0.25 * (np.sin(f * hit_p[..., 0])
-                                 * np.sin(f * hit_p[..., 1])
-                                 * np.sin(f * hit_p[..., 2]))
+            p0 = obj.rest_point(hit_p, t)
+            tex = (1.0 - obj.tex_amp) + obj.tex_amp * (
+                np.sin(f * p0[..., 0]) * np.sin(f * p0[..., 1]) * np.sin(f * p0[..., 2]))
             rgb = np.where((best_id == idx + 1)[..., None], rgb * tex[..., None], rgb)
     bg = 1.0 if white_background else 0.0
     rgb = np.where((best_id == 0)[..., None], bg, rgb)

@@ -127,7 +127,7 @@ def main():
                      meta.view_pe, meta.pos_pe, meta.fea_pe, meta.feature_c)
     pts = jnp.asarray(rng.randn(n, K, 3).astype(np.float32))
     view = jnp.asarray(rng.randn(n, K, 3).astype(np.float32))
-    feat = jnp.asarray(rng.randn(n, K, meta.app_dim).astype(np.bfloat16))
+    feat = jnp.asarray(rng.randn(n, K, meta.app_dim).astype(np.float32)).astype(jnp.bfloat16)
 
     def shade_loss(sp):
         return jnp.sum(shader(sp, pts, view, feat, None).astype(jnp.float32))

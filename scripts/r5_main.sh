@@ -105,5 +105,5 @@ fi
 
 # tail probes (deadline-guarded; cheap, high-information)
 T=1800 run python -u scripts/r5_fixed_slice.py > $LOG/fixed_slice_r5.log 2>&1
-T=1200 run python -m pytest tests/test_mosaic_probe.py -q > $LOG/mosaic_probe_r5.log 2>&1
+T=1200 run env NVFI_TEST_TPU=1 python -m pytest tests/test_mosaic_probe.py -q > $LOG/mosaic_probe_r5.log 2>&1
 echo "[main] ALL DONE $(date -u)"

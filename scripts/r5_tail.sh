@@ -31,6 +31,6 @@ T=1800 run python -u scripts/extrap_dt_probe.py --scene_dir logs/synth/chess30k_
   --config configs/synth/chessboard.yaml --res 96 --frames 96 \
   --out logs/extrap_dt_probe_r5.json > $LOG/extrap_dt_probe_r5.log 2>&1
 T=1800 run python -u scripts/r5_fixed_slice.py > $LOG/fixed_slice_r5.log 2>&1
-T=1200 run python -m pytest tests/test_mosaic_probe.py -q \
+T=1200 run env NVFI_TEST_TPU=1 python -m pytest tests/test_mosaic_probe.py -q \
   > $LOG/mosaic_probe_r5.log 2>&1
 echo "[tail] ALL DONE $(date -u)"

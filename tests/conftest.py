@@ -18,4 +18,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# NVFI_TEST_TPU=1 opts a pytest invocation back onto the real device (used by
+# the TPU-only probes, e.g. tests/test_mosaic_probe.py — round 5 found the
+# unconditional CPU override made that probe silently unreachable).
+if os.environ.get("NVFI_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")

@@ -67,3 +67,52 @@ def test_multi_camera_loader(tmp_path):
     assert counts["train"] == 6  # 2 cameras x 3 frames
     assert imgs["train"].shape == (6, 8, 8, 3)
     assert times["train"] == [0.0, 0.5, 1.0, 0.0, 0.5, 1.0]
+
+
+def test_rest_frame_texture_rides_the_motion():
+    """Textured movers (round-5 sur-family observability fix): the albedo
+    pattern must be painted in the object's rest frame — i.e. move WITH the
+    piece — not evaluated in world space.  Pin (a) rest_point inverts the
+    forward rigid map exactly, (b) texture gives strong intra-object contrast
+    (the observability property), and (c) exact translation invariance:
+    translating a sliding sphere AND the camera by the same offset reproduces
+    the image pixel-for-pixel, which is only true when the texture rides the
+    body (directional light + translated normals are invariant; a world-space
+    texture would slide under the object)."""
+    import numpy as np
+
+    from nvfi_tpu.data.synthetic import (
+        SCENE_CAMERA, RigidSphere, _rot_axis, chessboard_tex_objects,
+        render_frame,
+    )
+    from nvfi_tpu.data.blender import _spherical_pose
+
+    objs = chessboard_tex_objects()
+    orb = objs[0]
+    assert orb.tex_freq > 0 and not orb.hollow
+    p0 = orb.c0 + np.array([0.11, -0.07, 0.2], np.float32)
+    for t in (0.25, 0.6):
+        w = float(np.linalg.norm(orb.omega))
+        fwd = _rot_axis(orb.omega / w, w * t) @ (p0 - orb.pivot) + orb.pivot
+        back = orb.rest_point(fwd[None], t)[0]
+        np.testing.assert_allclose(back, p0, atol=1e-5)
+
+    cam = SCENE_CAMERA["chessboard_tex"]
+    H = W = 72
+    focal = 0.5 * W / np.tan(0.5 * cam["fov"])
+    pose = _spherical_pose(45.0, -10.0, cam["radius"])
+    rgb, segm = render_frame(objs, pose, H, W, focal, 0.375, white_background=False)
+    lum = rgb[segm == 1].mean(-1)
+    assert lum.size > 30, "orbiter should stay visible from the rig camera"
+    assert lum.std() > 0.05  # observable texture contrast
+
+    slider = RigidSphere(center=(0.0, 0.0, 0.0), radius=0.4,
+                         color=(0.8, 0.7, 0.6), v_lin=(1.2, 0.4, 0.0),
+                         tex_freq=5.0, tex_amp=0.45)
+    t = 0.5
+    pose0 = _spherical_pose(30.0, -25.0, 3.0)
+    pose_t = pose0.copy()
+    pose_t[:3, 3] += slider.v_lin * t
+    img0, _ = render_frame([slider], pose0, H, W, focal, 0.0, white_background=False)
+    img_t, _ = render_frame([slider], pose_t, H, W, focal, t, white_background=False)
+    np.testing.assert_allclose(img_t, img0, atol=1e-4)

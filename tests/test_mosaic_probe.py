@@ -11,7 +11,7 @@ cannot be silently stranded.
 
 Skipped off-TPU (Mosaic lowering needs a real TPU backend; the CPU conftest
 mesh cannot exercise it).  Run manually with:
-  JAX_PLATFORMS=axon python -m pytest tests/test_mosaic_probe.py -s --no-header
+  NVFI_TEST_TPU=1 python -m pytest tests/test_mosaic_probe.py -s --no-header
 (one TPU process at a time — don't run while a training job holds the tunnel).
 """
 
