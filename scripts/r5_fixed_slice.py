@@ -96,6 +96,15 @@ def main():
     mf32 = mk(compute_dtype="float32")
     timed("compute_dtype=f32", chunk_ms(mf32, params), (params, t, ro, rd, key))
 
+    # ---- dispatch floor ----------------------------------------------------
+    # The first (crashed) session showed micro-ops of wildly different sizes
+    # all costing ~9 ms — suspicious of a fixed per-dispatch cost through the
+    # axon tunnel rather than kernel time.  Time a trivial jitted reduction:
+    # whatever it costs is the floor every "timed" row pays, and if it is
+    # ~9 ms the unattributed chunk residual is dispatch latency, not compute.
+    tiny = jnp.arange(8, dtype=jnp.float32)
+    timed("dispatch floor (8-elt sum)", jax.jit(lambda x: x.sum()), (tiny,), n=20)
+
     # ---- standalone micro-ops at the chunk's real shapes -------------------
     S = meta.n_samples
     S_pad = -(-S // meta.sample_block) * meta.sample_block
@@ -107,11 +116,11 @@ def main():
 
     score_b = jnp.asarray(rng.rand(total_b).astype(np.float32))
     timed("topk_block (fwd)",
-          jax.jit(lambda s: jax.lax.top_k(s, B)[1].sum()), (score_b,))
+          jax.jit(lambda s: jax.lax.top_k(s, B)[1].sum()), (score_b,), n=20)
 
     w = jnp.asarray(rng.rand(n, S).astype(np.float32) * 1e-2)
     timed("topk_shade (fwd)",
-          jax.jit(lambda s: jax.lax.top_k(s, K)[1].sum()), (w,))
+          jax.jit(lambda s: jax.lax.top_k(s, K)[1].sum()), (w,), n=20)
 
     sigma = jnp.asarray(rng.rand(n, S).astype(np.float32))
     dists = jnp.full((n, S), 0.01, jnp.float32)
@@ -120,7 +129,7 @@ def main():
         alpha, weight, bg_w = raw2alpha(sigma, dists * 25.0)
         return jnp.sum(weight) + jnp.sum(bg_w)
 
-    timed("composite grad", jax.jit(lambda s: jax.grad(comp)(s).sum()), (sigma,))
+    timed("composite grad", jax.jit(lambda s: jax.grad(comp)(s).sum()), (sigma,), n=20)
 
     shader = make_shader("MLP_PE", meta.view_pe, meta.pos_pe, meta.fea_pe)
     sp = init_shader(jax.random.PRNGKey(2), "MLP_PE", meta.app_dim,
@@ -135,7 +144,7 @@ def main():
     timed("shader_mlp grad",
           jax.jit(lambda p: jax.tree.reduce(
               lambda a, b: a + b.sum(),
-              jax.grad(shade_loss)(p), 0.0)), (sp,))
+              jax.grad(shade_loss)(p), 0.0)), (sp,), n=20)
 
 
 if __name__ == "__main__":
