@@ -220,11 +220,49 @@ def carousel_tex_objects():
     return _texture_movers(carousel_objects())
 
 
+def _scale_speed(objects, s):
+    """Scale every object's rigid motion rates by ``s`` (trajectories start
+    at the same t=0 poses; angular and linear speeds shrink together, so the
+    exact velocity field scales by exactly ``s``)."""
+    for obj in objects:
+        obj.omega = obj.omega * s
+        obj.v_lin = obj.v_lin * s
+    return objects
+
+
+# The K=4 keyframe spacing of the InDoorSeg family (Δ = tmax/3 = 0.25,
+# reference config/InDoorSeg/chessboard.yaml:137-141) means samples advect
+# across offsets up to Δ/2 = 0.125 time units.  The original stand-in movers
+# travel ~1.8 units/s → ~0.225 units (~65% of a piece radius) of displacement
+# per max offset, which is OUTSIDE the photometric gradient basin of the
+# advection path: at v=0 the 4-slot time planes learn a time-symmetric smear
+# whose velocity gradient cancels (a saddle — the full round-5 knob battery
+# nulled, BASELINE.md).  Bat, which converges, sits at displacement/offset
+# ≈ 0.056 units ≈ 12% of its radius (19% at the worst point on the sphere).
+# The ``_slow`` variants calibrate mover speed ×0.2 so every mover's
+# worst-point displacement/offset stays ≤ 25% of its radius — the same
+# regime the reference's real InDoorSeg assets occupy (real chess pieces
+# move a small fraction of their size per half-keyframe-gap).
+SUR_SPEED_CALIBRATION = 0.2
+
+
+def chessboard_slow_objects():
+    """Speed-calibrated textured chessboard stand-in (see above)."""
+    return _scale_speed(chessboard_tex_objects(), SUR_SPEED_CALIBRATION)
+
+
+def carousel_slow_objects():
+    """Speed-calibrated textured carousel stand-in (transfer donor)."""
+    return _scale_speed(carousel_tex_objects(), SUR_SPEED_CALIBRATION)
+
+
 SCENE_OBJECTS = {"bat": default_objects, "fan": fan_objects,
                  "chessboard": chessboard_objects,
                  "carousel": carousel_objects,
                  "chessboard_tex": chessboard_tex_objects,
-                 "carousel_tex": carousel_tex_objects}
+                 "carousel_tex": carousel_tex_objects,
+                 "chessboard_slow": chessboard_slow_objects,
+                 "carousel_slow": carousel_slow_objects}
 
 # Per-scene camera presets (applied when make_synthetic_scene is given a
 # scene NAME).  The sur-gated indoor scenes put the cameras INSIDE the room
@@ -237,6 +275,8 @@ SCENE_CAMERA = {
     "carousel": {"radius": 1.6, "fov": 1.25, "n_cams": 4},
     "chessboard_tex": {"radius": 1.6, "fov": 1.25, "n_cams": 4},
     "carousel_tex": {"radius": 1.6, "fov": 1.25, "n_cams": 4},
+    "chessboard_slow": {"radius": 1.6, "fov": 1.25, "n_cams": 4},
+    "carousel_slow": {"radius": 1.6, "fov": 1.25, "n_cams": 4},
 }
 
 

@@ -309,3 +309,39 @@ def test_indoor_scenes_use_fixed_multicamera_rig():
     d = make_synthetic_scene(n_train=5, n_val=1, n_test=2, H=16, W=16,
                              objects="bat")
     assert len(d[2]["train"]) == 5
+
+
+def test_sur_movers_speed_calibrated_to_keyframe_spacing():
+    """The _slow sur-family variants keep every mover's between-keyframe
+    displacement inside the advection gradient basin: with K=4 over
+    tmax=0.75 (reference config/InDoorSeg/chessboard.yaml:137-141), samples
+    snap across offsets up to 0.125 time units; the round-5 battery showed
+    displacement beyond ~1/4 of the piece radius leaves velocity at a
+    time-symmetric saddle (BASELINE.md).  Pin: displacement per max offset
+    <= 0.25 * radius for every mover, and the exact velocity field of the
+    slow variant is exactly SUR_SPEED_CALIBRATION x the tex variant's at
+    t=0 (where trajectories coincide)."""
+    from nvfi_tpu.data.synthetic import (
+        SUR_SPEED_CALIBRATION, chessboard_slow_objects, chessboard_tex_objects,
+        carousel_slow_objects, scene_velocity)
+
+    max_offset = 0.75 / (4 - 1) / 2.0  # = 0.125
+    for objs in (chessboard_slow_objects(), carousel_slow_objects()):
+        for obj in objs:
+            if obj.hollow:
+                continue
+            # speed bound over the sphere: |omega| * (r + |c-pivot|) + |v_lin|
+            arm = np.linalg.norm(obj.c0 - obj.pivot) + obj.r
+            speed = np.linalg.norm(obj.omega) * arm + np.linalg.norm(obj.v_lin)
+            if speed == 0.0:
+                continue
+            assert speed * max_offset <= 0.25 * obj.r + 1e-6, (
+                f"mover at {obj.c0} displaces {speed * max_offset:.3f} per max "
+                f"keyframe offset (radius {obj.r})")
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-1.5, 1.5, size=(256, 3)).astype(np.float32)
+    v_tex = scene_velocity(chessboard_tex_objects(), pts, 0.0)
+    v_slow = scene_velocity(chessboard_slow_objects(), pts, 0.0)
+    np.testing.assert_allclose(v_slow, SUR_SPEED_CALIBRATION * v_tex,
+                               rtol=1e-6, atol=1e-7)
