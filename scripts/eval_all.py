@@ -31,6 +31,12 @@ def main():
     parser.add_argument("--res", type=int, default=128)
     parser.add_argument("--frames", type=int, default=128)
     parser.add_argument("--alpha_grid", type=int, default=128)
+    # 'orbit' = 360° novel-view sweep (harder than the reference protocol);
+    # 'heldout' = two fixed held-out cameras, the reference's per-camera test
+    # split (load_blender_dynamic.py:89-100) — rig scenes only, see
+    # make_synthetic_scene(heldout_test=...)
+    parser.add_argument("--protocol", choices=("orbit", "heldout"),
+                        default="orbit")
     args = parser.parse_args()
 
     import jax
@@ -62,6 +68,7 @@ def main():
         tmax_frac=float(cfg.nvfi.tmax),
         white_background=bool(cfg.dataset.white_background),
         objects=str(cfg.dataset.get("synthetic_objects", "bat")),
+        heldout_test=(args.protocol == "heldout"),
     )
     objects = dataset[7]["objects"]
 

@@ -311,6 +311,44 @@ def test_indoor_scenes_use_fixed_multicamera_rig():
     assert len(d[2]["train"]) == 5
 
 
+def test_heldout_test_protocol_uses_fixed_cameras():
+    """The reference's TEST split is also per-fixed-camera: transforms_test
+    .json keys frames by camera with one transform_matrix each
+    (datasets/load_blender_dynamic.py:89-100) — a handful of static held-out
+    viewpoints recording the full time range, not a free orbit.  Pin the
+    opt-in heldout_test protocol: fixed rig scenes get exactly two held-out
+    poses, each time-invariant, disjoint from the train rig, times spanning
+    [0, 1]; open scenes and the default keep the orbit split."""
+    from nvfi_tpu.data.synthetic import make_synthetic_scene
+
+    d = make_synthetic_scene(n_train=3, n_val=1, n_test=6, H=16, W=16,
+                             objects="chessboard_slow", white_background=False,
+                             heldout_test=True)
+    test_poses = np.stack([np.asarray(p) for p in d[1]["test"]])
+    uniq = np.unique(test_poses.round(5).reshape(len(test_poses), -1), axis=0)
+    assert len(uniq) == 2
+    train_poses = np.stack([np.asarray(p) for p in d[1]["train"]])
+    train_uniq = np.unique(train_poses.round(5).reshape(len(train_poses), -1), axis=0)
+    for row in uniq:
+        assert not any(np.allclose(row, tr) for tr in train_uniq)
+    times = np.asarray(d[2]["test"])
+    assert times[0] == 0.0 and times[-1] == 1.0
+    # extrapolation split still populated (t > tmax=0.75)
+    assert (times > 0.75).any()
+
+    # default stays the orbit split (in-flight evals unaffected), and open
+    # scenes ignore the flag (no fixed rig to hold out from)
+    d_orbit = make_synthetic_scene(n_train=3, n_val=1, n_test=6, H=16, W=16,
+                                   objects="chessboard_slow",
+                                   white_background=False)
+    orbit_poses = np.stack([np.asarray(p) for p in d_orbit[1]["test"]])
+    assert len(np.unique(orbit_poses.round(5).reshape(6, -1), axis=0)) == 6
+    d_open = make_synthetic_scene(n_train=3, n_val=1, n_test=6, H=16, W=16,
+                                  objects="bat", heldout_test=True)
+    open_poses = np.stack([np.asarray(p) for p in d_open[1]["test"]])
+    assert len(np.unique(open_poses.round(5).reshape(6, -1), axis=0)) == 6
+
+
 def test_sur_movers_speed_calibrated_to_keyframe_spacing():
     """The _slow sur-family variants keep every mover's between-keyframe
     displacement inside the advection gradient basin: with K=4 over
