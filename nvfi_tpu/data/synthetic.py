@@ -437,7 +437,10 @@ def make_synthetic_scene(
     if heldout_test and n_cams:
         # reference protocol: fixed held-out cameras, every test time recorded
         # from a static viewpoint interleaved between the train rig's thetas
-        ho_thetas, ho_phis = (0.0, 90.0), (-28.0, -32.0)
+        # 90/-90 interleave the rig's [-135,-45,45,135] AND keep the movers
+        # in frame in both sur scenes (theta=0 stares at a static piece:
+        # 22 mover-px summed over 3 times vs 1689 at theta=90, CPU scan)
+        ho_thetas, ho_phis = (90.0, -90.0), (-28.0, -32.0)
         ho_poses = [_spherical_pose(th, ph, radius)
                     for th, ph in zip(ho_thetas, ho_phis)]
         times = np.linspace(0.0, 1.0, n_test).astype(np.float32)

@@ -335,6 +335,15 @@ def test_heldout_test_protocol_uses_fixed_cameras():
     assert times[0] == 0.0 and times[-1] == 1.0
     # extrapolation split still populated (t > tmax=0.75)
     assert (times > 0.75).any()
+    # every held-out camera keeps the movers in frame (a held-out view that
+    # stares at a static wall would measure nothing about the dynamics)
+    segm = d[7]["segm"]["test"]
+    from nvfi_tpu.data.synthetic import chessboard_slow_objects
+    objs = chessboard_slow_objects()
+    mover_ids = [i + 1 for i, o in enumerate(objs) if not o.hollow
+                 and (np.linalg.norm(o.omega) + np.linalg.norm(o.v_lin)) > 0]
+    for cam in range(2):
+        assert np.isin(segm[cam::2], mover_ids).sum() > 0
 
     # default stays the orbit split (in-flight evals unaffected), and open
     # scenes ignore the flag (no fixed rig to hold out from)
