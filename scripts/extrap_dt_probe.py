@@ -64,7 +64,8 @@ def main():
         m = replace(meta, dt_scale=s)
         print(f"[probe] dt_scale={s}: snap_steps={m.snap_steps} "
               f"render_adv_steps={m.render_adv_steps}", flush=True)
-        preds, _ = render_split(params, m, dataset, "test", white_bg=True,
+        preds, _ = render_split(params, m, dataset, "test",
+                                white_bg=bool(cfg.dataset.white_background),
                                 alpha_grid=128)
         per = [float(psnr(preds[i], np.asarray(dataset[0]["test"][i])))
                for i in range(len(times))]

@@ -25,6 +25,17 @@ run() {
 
 STEP=$(ls "$CERT"/model_*.json 2>/dev/null | tail -1)
 echo "[post] furthest checkpoint: $STEP"
+
+# dt probe re-run: the queued run rendered white-on-black (white_bg was
+# hardcoded for bat) and read ~5 dB at every scale — fixed to follow the
+# config background; re-measure on the furthest checkpoint
+if fits 1800; then
+  T=1500 run python -u scripts/extrap_dt_probe.py --scene_dir "$CERT" \
+    --config configs/synth/chessboard_slow.yaml --res 64 --frames 48 \
+    --out logs/extrap_dt_probe_r5b.json > $LOG/extrap_dt_probe_r5b.log 2>&1
+  tail -14 $LOG/extrap_dt_probe_r5b.log | sed 's/^/[post-dt] /'
+fi
+
 case "$STEP" in
   *model_11999*) echo "[post] no extension landed; segm rows at 12k already measured"; exit 0;;
 esac
